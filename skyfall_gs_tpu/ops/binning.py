@@ -1,0 +1,132 @@
+"""Tile binning for the tiled rasterizer: duplicate -> sort -> range layout.
+
+TPU re-design of the CUDA rasterizer's duplicateWithKeys/radix-sort stage.
+There are no atomics on TPU, so instead of per-tile atomic counters we:
+
+  1. compute each splat's tile rectangle and touched-tile count,
+  2. expand to one entry per (splat, tile) pair with ``jnp.repeat`` under a
+     static capacity,
+  3. sort entries by (tile_id, depth) with a single XLA sort,
+  4. re-lay entries out so every tile's run starts at a chunk-aligned offset
+     (``chunk`` = the Pallas kernel's gaussian-chunk size).  Aligned runs let
+     the backward kernel write gradient chunks with plain contiguous DMAs —
+     no read-modify-write and no cross-tile overlap.
+
+Everything here is integer bookkeeping: the results are treated as constants
+by autodiff (indices), and per-entry attribute gathers happen outside, where
+XLA's gather/scatter-add transpose provides the gradient routing for free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # pixels per tile side; 16x16 = 256 = one lane register of pixels
+
+
+class BinnedTiles(NamedTuple):
+    """Chunk-aligned, depth-sorted per-tile entry layout.
+
+    ``gather_idx`` points into a source array padded with one trailing dummy
+    row (index N): every slot outside a live tile run gathers the dummy row,
+    so stray gradients scatter-add onto it and are dropped when the caller
+    strips the padding — no masking passes needed.
+    """
+
+    gather_idx: jnp.ndarray    # (cap_pad,) int32 gaussian index per entry (N = dummy)
+    tile_start: jnp.ndarray    # (num_tiles,) int32 aligned start offsets
+    tile_count: jnp.ndarray    # (num_tiles,) int32 live entries per tile
+    num_entries: jnp.ndarray   # () int32 total duplicated entries (pre-drop)
+    overflow: jnp.ndarray      # () int32 entries dropped due to capacity
+
+
+def num_tiles(height: int, width: int) -> tuple[int, int]:
+    return -(-height // TILE), -(-width // TILE)
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    height: int,
+    width: int,
+    cap: int,
+    chunk: int = 256,
+) -> BinnedTiles:
+    """Build the chunk-aligned per-tile entry layout.
+
+    Args:
+        mean2d: (N, 2) pixel-space centers.
+        depth: (N,) view-space z used as the sort key.
+        radius: (N,) int32 screen radii; 0 = culled.
+        cap: static capacity for duplicated entries (excess is dropped and
+            counted in ``overflow``).
+        chunk: alignment granularity — must equal the Pallas kernel's
+            per-iteration gaussian chunk.
+    """
+    n = mean2d.shape[0]
+    tiles_y, tiles_x = num_tiles(height, width)
+    t_total = tiles_y * tiles_x
+    cap_pad = cap + t_total * chunk  # worst-case per-tile alignment padding
+
+    r = radius.astype(jnp.float32)
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    # Tile rectangle, matching the CUDA getRect convention.
+    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    rect_w = x1 - x0
+    rect_h = y1 - y0
+    count = jnp.where(radius > 0, rect_w * rect_h, 0)
+
+    cum = jnp.cumsum(count) - count                      # exclusive prefix
+    total = cum[-1] + count[-1] if n > 0 else jnp.int32(0)
+
+    # One entry per (gaussian, touched tile).
+    gidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), count,
+                      total_repeat_length=cap)
+    entry = jnp.arange(cap, dtype=jnp.int32)
+    live = entry < jnp.minimum(total, cap)
+    rank = entry - cum[gidx]
+    rw = jnp.maximum(rect_w[gidx], 1)
+    tx = x0[gidx] + rank % rw
+    ty = y0[gidx] + rank // rw
+    tile = jnp.where(live, ty * tiles_x + tx, t_total)   # sentinel tile
+    key_depth = jnp.where(live, depth[gidx], jnp.inf)
+
+    tile_s, _, gidx_s = jax.lax.sort((tile, key_depth, gidx), num_keys=2)
+
+    # Per-tile ranges in the sorted order.
+    tile_edges = jnp.searchsorted(tile_s, jnp.arange(t_total + 1, dtype=jnp.int32))
+    tile_count = (tile_edges[1:] - tile_edges[:-1]).astype(jnp.int32)
+
+    # Chunk-aligned re-layout: tile t's run starts at padded_start[t].
+    padded_sizes = -(-tile_count // chunk) * chunk
+    padded_start = (jnp.cumsum(padded_sizes) - padded_sizes).astype(jnp.int32)
+
+    tile_of_entry = jnp.searchsorted(tile_edges, jnp.arange(cap, dtype=jnp.int32),
+                                     side="right").astype(jnp.int32) - 1
+    tile_of_entry = jnp.clip(tile_of_entry, 0, t_total)
+    in_real_tile = tile_s < t_total
+    rank_in_tile = jnp.arange(cap, dtype=jnp.int32) - tile_edges[tile_of_entry]
+    dest = jnp.where(
+        in_real_tile,
+        padded_start[jnp.clip(tile_of_entry, 0, t_total - 1)] + rank_in_tile,
+        cap_pad,  # dropped by scatter
+    )
+    gather_idx = jnp.full((cap_pad,), n, jnp.int32).at[dest].set(
+        gidx_s, mode="drop"
+    )
+
+    overflow = jnp.maximum(total - cap, 0)
+    return BinnedTiles(
+        gather_idx=gather_idx,
+        tile_start=padded_start,
+        tile_count=tile_count,
+        num_entries=total,
+        overflow=overflow,
+    )

@@ -1,0 +1,132 @@
+"""Differentiable 3DGS rasterization: public API and backend dispatch.
+
+Replaces the reference's CUDA ``diff_gauss.GaussianRasterizer`` 6-tuple call
+(gaussian_renderer/__init__.py:132-140).  The per-pixel compositing rules are
+shared by both backends:
+
+  * ``power = -0.5 (a dx^2 + c dy^2) - b dx dy``; skip if ``power > 0``
+  * ``alpha = min(0.99, opacity * exp(power))``; skip if ``alpha < 1/255``
+  * front-to-back in view-depth order; stop when transmittance would fall
+    below ``1e-4`` (the stopping splat is not composited)
+  * ``color_out = sum(c_i a_i T_i) + T_final * bg``
+
+Backends:
+  * ``"reference"`` — pure-JAX O(H*W*N) oracle (tests / tiny scenes).
+  * ``"tiled"`` — XLA tile binning + Pallas per-tile compositing kernel
+    (the production TPU path).
+
+The screen-space gradient needed by adaptive density control is exposed the
+JAX way: ``rasterize`` accepts ``mean2d_dummy`` (N, 2) zeros that are added
+to the projected means, so ``jax.grad`` w.r.t. it yields d(loss)/d(mean2d)
+(parity with the reference's ``screenspace_points`` trick,
+gaussian_renderer/__init__.py:27-31).  The tiled backend additionally
+returns per-Gaussian *absolute* screen gradients (AbsGS-style, reference
+scene/gaussian_model.py:744-749) through ``mean2d_abs_dummy``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from skyfall_gs_tpu.core.camera import Camera
+from skyfall_gs_tpu.ops.projection import (
+    ProjectedGaussians,
+    project_gaussians,
+    smallest_axis_normals,
+)
+from skyfall_gs_tpu.ops.rasterize_ref import composite_reference
+
+
+@struct.dataclass
+class RenderOutput:
+    """Everything the training loop and tools consume from one render."""
+
+    color: jnp.ndarray    # (H, W, 3), background composited
+    depth: jnp.ndarray    # (H, W) premultiplied expected view-space depth
+    normal: jnp.ndarray   # (H, W, 3) premultiplied blended normals
+    alpha: jnp.ndarray    # (H, W) 1 - final transmittance
+    radii: jnp.ndarray    # (N,) int32 screen radii, 0 = culled/invisible
+
+    @property
+    def visibility(self) -> jnp.ndarray:
+        return self.radii > 0
+
+    @property
+    def color_chw(self) -> jnp.ndarray:
+        return jnp.transpose(self.color, (2, 0, 1))
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    camera: Camera,
+    bg: jnp.ndarray,
+    kernel_size: float = 0.1,
+    mask: Optional[jnp.ndarray] = None,
+    subpixel_offset: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    mean2d_dummy: Optional[jnp.ndarray] = None,
+    mean2d_abs_dummy: Optional[jnp.ndarray] = None,
+    with_normals: bool = True,
+    backend: str = "tiled",
+) -> RenderOutput:
+    """Render one view.
+
+    Args:
+        means3d/scales/quats/opacities: activated Gaussian state — scales and
+            opacities should already include the Mip-Splatting 3D filter.
+        colors: (N, 3) precomputed RGB (SH/appearance handled by the caller).
+        bg: (3,) background color.
+        mask: (N,) alive mask for padded state.
+        mean2d_dummy: (N, 2) zeros; grad w.r.t. it = screen-space gradient.
+        mean2d_abs_dummy: (N, 2) zeros; tiled backend routes the AbsGS
+            absolute screen-space gradient into its cotangent.
+        backend: "tiled" (Pallas, production) or "reference" (oracle).
+    """
+    proj = project_gaussians(
+        means3d, scales, quats, opacities, camera,
+        kernel_size=kernel_size, mask=mask, scaling_modifier=scaling_modifier,
+    )
+    mean2d = proj.mean2d
+    if mean2d_dummy is not None:
+        mean2d = mean2d + mean2d_dummy
+
+    if with_normals:
+        normals = smallest_axis_normals(scales, quats, means3d, camera.cam_center)
+    else:
+        normals = jnp.zeros_like(means3d)
+
+    # Blend channels: [r, g, b, depth, nx, ny, nz]
+    channels = jnp.concatenate([colors, proj.depth[:, None], normals], axis=-1)
+
+    if backend == "reference":
+        out, t_final = composite_reference(
+            mean2d, proj.conic, proj.depth, proj.radius, proj.opacity,
+            channels, camera.height, camera.width, subpixel_offset,
+        )
+    elif backend == "tiled":
+        from skyfall_gs_tpu.ops.rasterize_tiled import composite_tiled
+
+        out, t_final = composite_tiled(
+            mean2d, proj.conic, proj.depth, proj.radius, proj.opacity,
+            channels, camera.height, camera.width,
+            subpixel_offset=subpixel_offset,
+            mean2d_abs_dummy=mean2d_abs_dummy,
+        )
+    else:
+        raise ValueError(f"unknown rasterize backend: {backend}")
+
+    color = out[..., :3] + t_final[..., None] * bg[None, None, :]
+    return RenderOutput(
+        color=color,
+        depth=out[..., 3],
+        normal=out[..., 4:7],
+        alpha=1.0 - t_final,
+        radii=proj.radius,
+    )

@@ -1,0 +1,508 @@
+"""Tiled Pallas rasterizer: the production TPU compositing backend.
+
+Replaces the reference's CUDA tile rasterizer (`diff-gaussian-rasterization-
+depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
+
+  * Binning/sorting happens in XLA (ops/binning.py) — sorts and scatters are
+    compiler territory on TPU, not kernel territory.
+  * The Pallas kernel grid iterates over 16x16 pixel tiles.  Within a tile it
+    streams depth-sorted gaussian entries from HBM in chunks of ``CHUNK``
+    with double-buffered async DMA.  Attributes live transposed as
+    ``(16, cap_pad)`` so a chunk DMA slices the lane dimension at
+    256-aligned offsets (the Mosaic DMA alignment rule).
+  * Per chunk: pixels on sublanes (the tile's 256 pixels as a (256, 1)
+    column), gaussians on lanes ((1, CHUNK) attribute rows) -> (256, CHUNK)
+    alpha matrices on the VPU; the front-to-back blend uses a log-step
+    prefix product along lanes; channel accumulation is one MXU matmul per
+    chunk ((8, CHUNK) x (256, CHUNK)^T -> (8, 256)).
+  * Early termination: the tile loop stops once every pixel's transmittance
+    falls below 1e-4 (the CUDA rule, applied per chunk).
+  * The backward kernel streams the same data, recomputes forward state, and
+    uses the suffix-color trick (Q = running prefix sum of w * (c . dC)) to
+    form d(alpha) without storing per-entry state; per-entry gradients are
+    lane-parallel sublane reductions plus two MXU matmuls.  It additionally
+    emits AbsGS absolute screen-space gradients (reference
+    scene/gaussian_model.py:744-749) as two extra gradient rows.
+  * Per-tile entry runs are chunk-aligned (binning), so backward writes
+    gradient chunks with plain contiguous DMAs — no read-modify-write, no
+    cross-tile overlap, no atomics needed.
+
+The custom-VJP boundary wraps only (sorted attributes -> tile images); the
+projection before it and the gather into sorted order are plain JAX, so XLA
+autodiff routes gradients to the 3D parameters (including duplicate-entry
+accumulation through the gather transpose) automatically.
+
+Attribute row layout (16, cap_pad):
+  rows 0..6  blend channels (r, g, b, depth, nx, ny, nz)
+  row  7     zero pad
+  rows 8..13 mx, my, conic_a, conic_b, conic_c, opacity
+  rows 14,15 zero pad (backward: AbsGS |dmx|, |dmy|)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from skyfall_gs_tpu.ops.binning import TILE, bin_gaussians, num_tiles
+from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
+
+P = TILE * TILE      # pixels per tile = 256
+NA = 16              # attribute rows per entry
+CHUNK = 256          # gaussian entries per inner iteration
+NCH = 8              # channel rows (7 used + 1 pad)
+
+
+class _Config(NamedTuple):
+    tiles_y: int
+    tiles_x: int
+    cap_pad: int
+    interpret: bool
+
+
+def _interpret_default() -> bool:
+    import os
+
+    flag = os.environ.get("SKYFALL_INTERPRET")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return jax.default_backend() == "cpu"
+
+
+def _lane_scan(x: jnp.ndarray, op, identity: float) -> jnp.ndarray:
+    """Inclusive prefix scan along lanes (axis 1) in log2(G) steps."""
+    g = x.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < g:
+        shifted = pltpu.roll(x, s, 1)
+        shifted = jnp.where(cols >= s, shifted, identity)
+        x = op(x, shifted)
+        s *= 2
+    return x
+
+
+def _cumprod_incl(x):
+    return _lane_scan(x, jax.lax.mul, 1.0)
+
+
+def _cumsum_incl(x):
+    return _lane_scan(x, jax.lax.add, 0.0)
+
+
+def _excl_from_incl_prod(incl: jnp.ndarray) -> jnp.ndarray:
+    cols = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 1)
+    shifted = pltpu.roll(incl, 1, 1)
+    return jnp.where(cols >= 1, shifted, 1.0)
+
+
+def _pixel_coords(t, tiles_x, offx_ref, offy_ref):
+    """Pixel centers for tile ``t`` as (P, 1) columns."""
+    ty = t // tiles_x
+    tx = t % tiles_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * TILE + pix % TILE).astype(jnp.float32) + offx_ref[...]
+    py = (ty * TILE + pix // TILE).astype(jnp.float32) + offy_ref[...]
+    return px, py
+
+
+def _chunk_state(buf, px, py, base, cnt):
+    """Forward per-chunk state shared by both kernels."""
+    mx = buf[8:9, :]
+    my = buf[9:10, :]
+    ca = buf[10:11, :]
+    cb = buf[11:12, :]
+    cc = buf[12:13, :]
+    op = buf[13:14, :]
+    dx = px - mx                       # (P, G)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(power)
+    alpha_un = op * expp
+    alpha_cl = jnp.minimum(alpha_un, ALPHA_MAX)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
+    use = (lidx < cnt) & (power <= 0.0) & (alpha_cl >= ALPHA_EPS)
+    alpha = jnp.where(use, alpha_cl, 0.0)
+    return alpha, alpha_un, expp, use, dx, dy, ca, cb, cc
+
+
+def _make_read_dma(attrs_ref, buf_ref, sem_ref, start):
+    def dma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+    return dma
+
+
+# ----------------------------------------------------------------------------
+# Forward kernel
+# ----------------------------------------------------------------------------
+
+def _fwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
+                offx_ref, offy_ref, out_ref, tfin_ref, buf, sems):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    cnt = count_ref[t]
+    nchunks = (cnt + CHUNK - 1) // CHUNK
+    px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
+    dma = _make_read_dma(attrs_ref, buf, sems, start)
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(carry):
+        c, t_run, _ = carry
+        return (c < nchunks) & (jnp.max(t_run) >= T_EPS)
+
+    def body(carry):
+        c, t_run, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        chunk = buf[slot]                                    # (16, G)
+        alpha, _, _, _, _, _, _, _, _ = _chunk_state(chunk, px, py, c * CHUNK, cnt)
+        one_minus = 1.0 - alpha
+        cum = _cumprod_incl(one_minus)                       # (P, G)
+        t_after = t_run * cum                                # t_run (P, 1)
+        keep = t_after >= T_EPS
+        t_before = t_run * _excl_from_incl_prod(cum)
+        w = jnp.where(keep, alpha * t_before, 0.0)           # (P, G)
+        col = chunk[0:NCH, :]                                # (8, G)
+        acc = acc + jax.lax.dot_general(
+            col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (8, P)
+        t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
+        return c + 1, t_run, acc
+
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((NCH, P), jnp.float32))
+    c_fin, t_run, acc = jax.lax.while_loop(cond, body, init)
+
+    # Drain a prefetch left in flight by an early exit.
+    @pl.when(c_fin < nchunks)
+    def _():
+        dma(jax.lax.rem(c_fin, 2), c_fin).wait()
+
+    out_ref[0] = acc
+    tfin_ref[...] = t_run
+
+
+# ----------------------------------------------------------------------------
+# Backward kernel
+# ----------------------------------------------------------------------------
+
+def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
+                offx_ref, offy_ref, outres_ref, tfin_ref, dout_ref, dtfin_ref,
+                dattrs_ref, buf, dbuf, rsems, wsems):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    cnt = count_ref[t]
+    nchunks = (cnt + CHUNK - 1) // CHUNK
+    px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
+    dma = _make_read_dma(attrs_ref, buf, rsems, start)
+
+    dout = dout_ref[0]                                       # (8, P)
+    outres = outres_ref[0]                                   # (8, P)
+    ones_col = jnp.ones((NCH, 1), jnp.float32)
+    # B = sum_ch dC_ch * C_ch + dTfin * Tfin, per pixel as a (P, 1) column.
+    b_tot = jax.lax.dot_general(
+        dout * outres, ones_col, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + dtfin_ref[...] * tfin_ref[...]
+
+    def wdma(slot, c):
+        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dattrs_ref.at[:, pl.ds(off, CHUNK)],
+            wsems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, carry):
+        t_run, q_run = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        chunk = buf[slot]
+        alpha, alpha_un, expp, use, dx, dy, ca, cb, cc = _chunk_state(
+            chunk, px, py, c * CHUNK, cnt
+        )
+        one_minus = 1.0 - alpha
+        cum = _cumprod_incl(one_minus)
+        t_after = t_run * cum
+        keep = t_after >= T_EPS
+        t_before = t_run * _excl_from_incl_prod(cum)
+        w = jnp.where(keep, alpha * t_before, 0.0)           # (P, G)
+        col = chunk[0:NCH, :]
+
+        # A[p, g] = c_g . dC_p  (includes only channel rows; row 7 is zero).
+        a_dot = jax.lax.dot_general(
+            dout, col, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (P, G)
+        q = q_run + _cumsum_incl(w * a_dot)                   # (P, G) inclusive
+        grad_mask = use & keep
+        dalpha = jnp.where(
+            grad_mask, a_dot * t_before - (b_tot - q) / one_minus, 0.0
+        )
+        pgate = grad_mask & (alpha_un < ALPHA_MAX)
+        dpower = jnp.where(pgate, dalpha * alpha_un, 0.0)
+        dop_px = jnp.where(pgate, dalpha * expp, 0.0)
+        ddx = dpower * -(ca * dx + cb * dy)
+        ddy = dpower * -(cc * dy + cb * dx)
+
+        def csum(v):
+            return jnp.sum(v, axis=0, keepdims=True)          # (1, G)
+
+        dmx = -csum(ddx)
+        dmy = -csum(ddy)
+        dca = csum(dpower * (-0.5) * dx * dx)
+        dcb = csum(dpower * -(dx * dy))
+        dcc = csum(dpower * (-0.5) * dy * dy)
+        dop = csum(dop_px)
+        absx = csum(jnp.abs(ddx))
+        absy = csum(jnp.abs(ddy))
+        dcol = jax.lax.dot_general(
+            dout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                     # (8, G)
+
+        dchunk = jnp.concatenate(
+            [dcol, dmx, dmy, dca, dcb, dcc, dop, absx, absy], axis=0
+        )                                                     # (16, G)
+
+        @pl.when(c >= 2)
+        def _():
+            wdma(slot, c - 2).wait()
+
+        dbuf[slot] = dchunk
+        wdma(slot, c).start()
+
+        t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
+        q_run = jnp.max(jnp.where(keep, q, q_run), axis=1, keepdims=True)
+        return t_run, q_run
+
+    init = (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
+    jax.lax.fori_loop(0, nchunks, body, init)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        wdma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        wdma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+
+
+# ----------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ----------------------------------------------------------------------------
+
+def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
+    t_total = cfg.tiles_y * cfg.tiles_x
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg.tiles_x),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, NCH, P), jnp.float32),
+            jax.ShapeDtypeStruct((t_total * P, 1), jnp.float32),
+        ],
+        interpret=cfg.interpret,
+    )(start, count, attrs, offx, offy)
+
+
+def _bwd_call(cfg: _Config, attrs, start, count, offx, offy, outres, tfin,
+              dout, dtfin):
+    t_total = cfg.tiles_y * cfg.tiles_x
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg.tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NA, cfg.cap_pad), jnp.float32),
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(start, count, attrs, offx, offy, outres, tfin, dout, dtfin)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(cfg: _Config):
+    @jax.custom_vjp
+    def composite(attrs, absd, start, count, offx, offy):
+        del absd
+        return _fwd_call(cfg, attrs, start, count, offx, offy)
+
+    def fwd(attrs, absd, start, count, offx, offy):
+        out, tfin = _fwd_call(cfg, attrs, start, count, offx, offy)
+        return (out, tfin), (attrs, start, count, offx, offy, out, tfin)
+
+    def bwd(res, cot):
+        attrs, start, count, offx, offy, out, tfin = res
+        dout, dtfin = cot
+        dattrs = _bwd_call(cfg, attrs, start, count, offx, offy, out, tfin,
+                           dout, dtfin)
+        d_main = dattrs.at[14:, :].set(0.0).at[7, :].set(0.0)
+        d_abs = dattrs[14:16, :]
+        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return (d_main, d_abs, f0(start), f0(count),
+                jnp.zeros_like(offx), jnp.zeros_like(offy))
+
+    composite.defvjp(fwd, bwd)
+    return composite
+
+
+# ----------------------------------------------------------------------------
+# Public entry
+# ----------------------------------------------------------------------------
+
+def default_capacity(n: int) -> int:
+    """Heuristic duplicated-entry capacity: ~8 tiles per splat, floored."""
+    cap = max(1 << 16, 8 * n)
+    return -(-cap // CHUNK) * CHUNK
+
+
+def composite_tiled(
+    mean2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    opacity: jnp.ndarray,
+    channels: jnp.ndarray,
+    height: int,
+    width: int,
+    subpixel_offset: Optional[jnp.ndarray] = None,
+    mean2d_abs_dummy: Optional[jnp.ndarray] = None,
+    cap: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-binned differentiable composite.
+
+    Same contract as ops.rasterize_ref.composite_reference, plus AbsGS
+    absolute screen gradients routed into ``mean2d_abs_dummy``'s cotangent.
+
+    Returns:
+        (out (H, W, 7) premultiplied channels, T_final (H, W)).
+    """
+    n = mean2d.shape[0]
+    nch_in = channels.shape[1]
+    if nch_in != NCH - 1:
+        raise ValueError(f"expected {NCH - 1} blend channels, got {nch_in}")
+    tiles_y, tiles_x = num_tiles(height, width)
+    t_total = tiles_y * tiles_x
+    if cap is None:
+        cap = default_capacity(n)
+    if interpret is None:
+        interpret = _interpret_default()
+    cfg = _Config(tiles_y, tiles_x, cap + t_total * CHUNK, interpret)
+
+    binned = bin_gaussians(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(depth),
+        radius, height, width, cap=cap, chunk=CHUNK,
+    )
+    gi = binned.gather_idx
+
+    # (N+1, 16) with a trailing dummy row that absorbs dead-slot gradients.
+    attrs = jnp.concatenate(
+        [channels, jnp.zeros((n, 1), channels.dtype), mean2d, conic,
+         opacity[:, None], jnp.zeros((n, 2), channels.dtype)],
+        axis=1,
+    )
+    attrs = jnp.pad(attrs, ((0, 1), (0, 0)))
+    attrs_sorted = attrs.T[:, gi]                            # (16, cap_pad)
+
+    if mean2d_abs_dummy is None:
+        mean2d_abs_dummy = jnp.zeros((n, 2), mean2d.dtype)
+    absd_sorted = jnp.pad(mean2d_abs_dummy, ((0, 1), (0, 0))).T[:, gi]
+
+    hp, wp = tiles_y * TILE, tiles_x * TILE
+    if subpixel_offset is None:
+        offx = jnp.zeros((t_total * P, 1), jnp.float32)
+        offy = jnp.zeros((t_total * P, 1), jnp.float32)
+    else:
+        sp = jnp.pad(
+            subpixel_offset,
+            ((0, hp - height), (0, wp - width), (0, 0)),
+        )
+        sp = (
+            sp.reshape(tiles_y, TILE, tiles_x, TILE, 2)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(t_total * P, 2)
+        )
+        offx = sp[:, 0:1]
+        offy = sp[:, 1:2]
+
+    out, tfin = _make_composite(cfg)(
+        attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
+        offx, offy,
+    )                                                        # (T, 8, P), (T*P, 1)
+
+    img = (
+        out.reshape(tiles_y, tiles_x, NCH, TILE, TILE)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(hp, wp, NCH)
+    )[:height, :width]
+    tfin_img = (
+        tfin.reshape(tiles_y, tiles_x, TILE, TILE)
+        .transpose(0, 2, 1, 3)
+        .reshape(hp, wp)
+    )[:height, :width]
+    return img[..., : NCH - 1], tfin_img

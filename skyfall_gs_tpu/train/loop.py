@@ -1,0 +1,348 @@
+"""Stage-1 training orchestration (host-side curriculum around the jit step).
+
+Capability parity: reference train.py:79-348 (training()):
+  * random camera sampling with optional 30% high-res resampling (:176-182);
+  * SH degree +1 every 1000 iterations (:171-173);
+  * scheduled xyz LR (:169);
+  * pseudo-view curriculum: elevation 80->45, radius 300->250 over
+    [start_sample_pseudo, end_sample_pseudo], regenerated when the stack
+    empties (:245-253), depth pseudo-GT from a pluggable monodepth model;
+  * densify every 100 iters in [densify_from_iter, densify_until_iter] +
+    3D-filter recompute (:312-322), opacity reset every 3000 iters with the
+    lambda_opacity cooldown (:324-328, 158-164);
+  * 3D filter refresh every 100 iters after densification ends (:332-335);
+  * checkpoints and PLY snapshots at milestones (:342-348);
+  * per-iteration metric logging / periodic test renders (training_report,
+    :1043-1102) via the MetricsLogger.
+
+TPU specifics: the inner step is fully jitted per resolution group;
+densification is a second jitted function; capacity growth recompiles
+(amortized by doubling).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skyfall_gs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+from skyfall_gs_tpu.core.camera import orbit_cameras
+from skyfall_gs_tpu.io.gaussian_ply import save_gaussian_ply
+from skyfall_gs_tpu.io.scene import SceneData, ViewGroup
+from skyfall_gs_tpu.model.appearance import AppearanceConfig
+from skyfall_gs_tpu.model.densify import densify_and_prune, grow_capacity
+from skyfall_gs_tpu.model.gaussians import (
+    camera_filter_arrays,
+    compute_3d_filter,
+    create_from_points,
+    reset_opacity,
+)
+from skyfall_gs_tpu.train.checkpoint import save_checkpoint
+from skyfall_gs_tpu.train.logging import MetricsLogger
+from skyfall_gs_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_eval_render,
+    make_train_step,
+)
+from skyfall_gs_tpu.ops.losses import psnr as psnr_fn
+from skyfall_gs_tpu.utils.general import expon_lr_schedule
+
+
+@dataclass
+class Trainer:
+    """Drives Stage-1 training for one scene."""
+
+    model_cfg: ModelConfig
+    opt_cfg: OptimizationConfig
+    pipe_cfg: PipelineConfig
+    scene: SceneData
+    depth_predictor: Optional[Callable] = None   # images -> depths (pseudo GT)
+    logger: Optional[MetricsLogger] = None
+    rng_seed: int = 0
+
+    def __post_init__(self):
+        cfg = self.model_cfg
+        self.appearance = AppearanceConfig(
+            enabled=cfg.appearance_enabled,
+            n_fourier_freqs=cfg.appearance_n_fourier_freqs,
+            embedding_dim=cfg.appearance_embedding_dim,
+        )
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0]
+        )
+        self.rng = jax.random.PRNGKey(self.rng_seed)
+        self.py_rng = random.Random(self.rng_seed)
+        self._step_fns: Dict = {}
+        self._filter_fn = jax.jit(compute_3d_filter)
+        self._densify_fn = jax.jit(densify_and_prune, static_argnames=(
+            "max_grad", "min_opacity", "extent", "max_screen_size",
+            "percent_dense"))
+        self._reset_opacity_fn = jax.jit(reset_opacity)
+        self._eval_render = make_eval_render(cfg.kernel_size,
+                                             self.pipe_cfg.rasterizer_backend)
+        if self.logger is None:
+            self.logger = MetricsLogger(cfg.model_path)
+
+        self.filter_cams = camera_filter_arrays(
+            [v.camera for v in self.scene.train_views]
+        )
+
+        groups = self.scene.train_groups
+        self.group_keys = list(groups.keys())
+        # map flat train index -> (group key, index in group)
+        self.flat_index = []
+        for key, g in groups.items():
+            for i in range(g.size):
+                self.flat_index.append((key, i))
+        self.highres_index = [
+            (k, i) for (k, i) in self.flat_index if k[1] >= 800
+        ]
+
+    # ------------------------------------------------------------------
+    def init_state(self, start_checkpoint: Optional[str] = None) -> TrainState:
+        cap = self.pipe_cfg.gaussian_capacity or None
+        model = create_from_points(
+            self.scene.points,
+            self.scene.colors,
+            max_sh_degree=self.model_cfg.sh_degree,
+            appearance=self.appearance,
+            num_cameras=self.scene.num_train,
+            spatial_lr_scale=self.scene.cameras_extent,
+            capacity=cap,
+            seed=self.rng_seed,
+        )
+        state = init_train_state(model)
+        if start_checkpoint:
+            from skyfall_gs_tpu.train.checkpoint import (
+                load_checkpoint,
+                peek_checkpoint_meta,
+            )
+
+            meta = peek_checkpoint_meta(start_checkpoint)
+            if meta["capacity"] != model.params.capacity:
+                grown_model, grown_opt = grow_capacity(
+                    state.model, state.opt, meta["capacity"])
+                state = state.replace(model=grown_model, opt=grown_opt)
+            state, it = load_checkpoint(start_checkpoint, state)
+            self.start_iteration = it
+        else:
+            self.start_iteration = 0
+        state = state.replace(
+            model=state.model.replace(
+                aux=state.model.aux.replace(
+                    filter_3d=self._compute_filter(state))
+            )
+        )
+        return state
+
+    def _compute_filter(self, state: TrainState):
+        return self._filter_fn(
+            state.model.params.xyz, state.model.aux.alive, *self.filter_cams
+        )
+
+    # ------------------------------------------------------------------
+    def _get_step_fn(self, use_depth: bool, use_pseudo: bool):
+        key = (use_depth, use_pseudo)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(
+                self.opt_cfg,
+                kernel_size=self.model_cfg.kernel_size,
+                backend=self.pipe_cfg.rasterizer_backend,
+                ray_jitter=self.model_cfg.ray_jitter,
+                resample_gt=self.model_cfg.resample_gt_image,
+                use_depth=use_depth,
+                use_pseudo=use_pseudo,
+            )
+        return self._step_fns[key]
+
+    def _pick_view(self):
+        key, i = self.py_rng.choice(self.flat_index)
+        if (self.model_cfg.sample_more_highres and self.highres_index
+                and self.py_rng.random() < 0.3):
+            key, i = self.py_rng.choice(self.highres_index)
+        g: ViewGroup = self.scene.train_groups[key]
+        return g, i
+
+    def _pseudo_curriculum(self, iteration: int):
+        o = self.opt_cfg
+        span = max(o.end_sample_pseudo - o.start_sample_pseudo, 1)
+        t = (o.end_sample_pseudo - iteration) / span
+        elevation = t * (80.0 - 45.0) + 45.0
+        radius = t * (300.0 - 250.0) + 250.0
+        return elevation, radius
+
+    def _gen_pseudo_stack(self, iteration: int) -> List:
+        o = self.opt_cfg
+        elevation, radius = self._pseudo_curriculum(iteration)
+        cams = []
+        n_rings = max(o.num_pseudo_cams // 8, 1)
+        for _ in range(n_rings):
+            target = [
+                self.py_rng.gauss(0.0, o.target_std),
+                self.py_rng.gauss(0.0, o.target_std),
+                0.0,
+            ]
+            uid = self.py_rng.randrange(max(self.scene.num_train, 1))
+            cams.extend(orbit_cameras(
+                target, elevation, radius, num_cams=8, num_samples=1,
+                width=512, height=512, fov_deg=60.0, uids=[uid] * 8,
+            ))
+        return cams
+
+    # ------------------------------------------------------------------
+    def train(self, state: Optional[TrainState] = None,
+              iterations: Optional[int] = None,
+              test_iterations: tuple = (),
+              save_iterations: tuple = (),
+              checkpoint_iterations: tuple = ()) -> TrainState:
+        o = self.opt_cfg
+        cfg = self.model_cfg
+        if state is None:
+            state = self.init_state()
+        iterations = iterations or o.iterations
+
+        xyz_sched = expon_lr_schedule(
+            o.position_lr_init * state.model.spatial_lr_scale,
+            o.position_lr_final * state.model.spatial_lr_scale,
+            lr_delay_mult=o.position_lr_delay_mult,
+            max_steps=o.position_lr_max_steps,
+        )
+
+        lambda_opacity = o.lambda_opacity
+        cooldown = None
+        pseudo_stack: List = []
+        t_start = time.time()
+        first_iter = getattr(self, "start_iteration", 0) + 1
+
+        for iteration in range(first_iter, iterations + 1):
+            if cooldown is not None:
+                if cooldown > 0:
+                    cooldown -= 1
+                else:
+                    cooldown = None
+                    lambda_opacity = o.lambda_opacity
+
+            if iteration % 1000 == 0:
+                state = state.replace(model=state.model.one_up_sh_degree())
+
+            g, i = self._pick_view()
+            cam, image, mask, depth = g.select(i)
+            use_depth = o.lambda_depth > 0 and g.has_depth
+
+            # pseudo-view monodepth supervision
+            use_pseudo = (
+                o.lambda_pseudo_depth > 0
+                and self.depth_predictor is not None
+                and iteration % o.sample_pseudo_interval == 0
+                and o.start_sample_pseudo < iteration < o.end_sample_pseudo
+            )
+            pseudo_args = ()
+            if use_pseudo:
+                if not pseudo_stack:
+                    pseudo_stack = self._gen_pseudo_stack(iteration)
+                pcam = pseudo_stack.pop(
+                    self.py_rng.randrange(len(pseudo_stack)))
+                pout = self._eval_render(state.model, pcam, self.bg)
+                pdepth = self.depth_predictor(
+                    np.asarray(jnp.clip(pout.color, 0, 1)))
+                scale = min((iteration - o.start_sample_pseudo) / 500.0, 1.0)
+                pseudo_args = (pcam, jnp.asarray(pdepth), jnp.float32(scale))
+
+            self.rng, krng = jax.random.split(self.rng)
+            step_fn = self._get_step_fn(use_depth, use_pseudo)
+            state, metrics = step_fn(
+                state, cam, image, mask, depth, self.bg, krng,
+                jnp.float32(xyz_sched(iteration)), jnp.float32(lambda_opacity),
+                *pseudo_args,
+            )
+
+            # ---- densification ------------------------------------------
+            if iteration < o.densify_until_iter:
+                if (iteration > o.densify_from_iter
+                        and iteration % o.densification_interval == 0):
+                    state = self._densify(state)
+                if iteration % o.opacity_reset_interval == 0 or (
+                        cfg.white_background
+                        and iteration == o.densify_from_iter):
+                    new_op = self._reset_opacity_fn(
+                        state.model.params, state.model.aux.filter_3d)
+                    state = state.replace(model=state.model.replace(
+                        params=state.model.params.replace(opacity=new_op)))
+                    lambda_opacity = 0.01
+                    cooldown = o.opacity_cooldown_iterations
+            elif iteration % 100 == 0 and iteration < iterations - 100:
+                state = state.replace(model=state.model.replace(
+                    aux=state.model.aux.replace(
+                        filter_3d=self._compute_filter(state))))
+
+            # ---- logging / eval / snapshots ------------------------------
+            if self.logger:
+                self.logger.log_step(iteration, metrics, time.time() - t_start)
+            if iteration in test_iterations:
+                self._report(state, iteration)
+            if iteration in save_iterations:
+                self.save_ply(state, iteration)
+            if iteration in checkpoint_iterations:
+                path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
+                save_checkpoint(path, state, iteration)
+
+        return state
+
+    # ------------------------------------------------------------------
+    def _densify(self, state: TrainState) -> TrainState:
+        o = self.opt_cfg
+        # grow capacity host-side if the free pool is getting thin
+        n_alive = int(state.model.num_alive)
+        cap = state.model.params.capacity
+        if cap - n_alive < max(cap // 8, 2048):
+            model, opt = grow_capacity(state.model, state.opt, cap * 2)
+            state = state.replace(model=model, opt=opt)
+        self.rng, k = jax.random.split(self.rng)
+        params, aux, opt, stats = self._densify_fn(
+            state.model.params, state.model.aux, state.opt, k,
+            max_grad=o.densify_grad_threshold, min_opacity=0.005,
+            extent=float(self.scene.cameras_extent),
+            max_screen_size=float(o.size_threshold),
+            percent_dense=o.percent_dense,
+        )
+        state = state.replace(
+            model=state.model.replace(params=params, aux=aux), opt=opt
+        )
+        state = state.replace(model=state.model.replace(
+            aux=state.model.aux.replace(filter_3d=self._compute_filter(state))
+        ))
+        if self.logger:
+            self.logger.log_densify(int(state.step), stats)
+        return state
+
+    # ------------------------------------------------------------------
+    def _report(self, state: TrainState, iteration: int) -> None:
+        for name, views in (("test", self.scene.test_views),
+                            ("train", self.scene.train_views[:5])):
+            if not views:
+                continue
+            l1s, psnrs = [], []
+            for v in views[:8]:
+                out = self._eval_render(state.model, v.camera, self.bg)
+                img = jnp.clip(out.color, 0.0, 1.0)
+                gt = jnp.asarray(v.image)
+                l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+                psnrs.append(float(psnr_fn(img, gt)))
+            if self.logger:
+                self.logger.log_eval(iteration, name,
+                                     float(np.mean(l1s)), float(np.mean(psnrs)))
+
+    def save_ply(self, state: TrainState, iteration: int) -> None:
+        path = os.path.join(
+            self.model_cfg.model_path, "point_cloud",
+            f"iteration_{iteration}", "point_cloud.ply")
+        save_gaussian_ply(state.model, path)

@@ -1,0 +1,217 @@
+"""The jitted Stage-1 training step.
+
+Capability parity: the reference hot loop (train.py:142-348):
+  * ray-jitter subpixel offsets and offset-resampled GT (:189-193, 64-77);
+  * masked L1 + SSIM photometric loss (:206-223);
+  * Pearson depth loss on masked GT depth (:226-234);
+  * opacity binary-entropy regularization (:236-242);
+  * pseudo-view monocular-depth supervision with 500-iter warm-up scaling
+    (:245-277) — the monodepth prediction is produced outside the step (it
+    is inference-only) and enters as a constant;
+  * screen-space gradient statistics for densification via the dummy-input
+    trick (:312-315);
+  * Adam step with per-field LRs and the scheduled xyz LR (:169, 337-340).
+
+The whole step is one jit-compiled pure function
+``(state, view, rng, scalars) -> (state, metrics)``; host code only drives
+the curriculum (SH degree, densify cadence, opacity resets).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from skyfall_gs_tpu.core.camera import Camera
+from skyfall_gs_tpu.model.gaussians import GaussianModelState, get_opacity
+from skyfall_gs_tpu.model.optim import (
+    AdamState,
+    adam_init,
+    adam_update,
+    make_lr_tree,
+    make_weight_decay_tree,
+)
+from skyfall_gs_tpu.model.densify import add_densification_stats
+from skyfall_gs_tpu.model.render import render
+from skyfall_gs_tpu.ops.losses import (
+    depth_pearson_loss,
+    l1_loss,
+    opacity_entropy_loss,
+    photometric_loss,
+    psnr,
+)
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    depth_loss: jnp.ndarray
+    opacity_loss: jnp.ndarray
+    psnr: jnp.ndarray
+    n_alive: jnp.ndarray
+
+
+@struct.dataclass
+class TrainState:
+    model: GaussianModelState
+    opt: AdamState
+    step: jnp.ndarray  # () int32
+
+
+def init_train_state(model: GaussianModelState) -> TrainState:
+    return TrainState(model=model, opt=adam_init(model.params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def resample_with_offset(image: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-resample (H, W, C) at pixel positions shifted by ``offset``
+    (H, W, 2), border-clamped — parity with create_offset_gt
+    (reference train.py:64-77)."""
+    h, w = image.shape[:2]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + offset[..., 1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + offset[..., 0]
+    coords = jnp.stack([ys, xs], axis=0)
+
+    def chan(c):
+        return jax.scipy.ndimage.map_coordinates(c, list(coords), order=1,
+                                                 mode="nearest")
+
+    return jnp.stack([chan(image[..., i]) for i in range(image.shape[-1])], -1)
+
+
+def make_train_step(
+    opt_cfg,
+    kernel_size: float = 0.1,
+    backend: str = "tiled",
+    ray_jitter: bool = False,
+    resample_gt: bool = False,
+    use_depth: bool = True,
+    use_pseudo: bool = False,
+    photometric: bool = True,
+    testing_render: bool = False,
+    bin_capacity: Optional[int] = None,
+):
+    """Build the jitted step for one resolution group.
+
+    The returned function signature:
+        step(state, camera, gt_image (H,W,3), gt_mask (H,W), gt_depth (H,W),
+             bg (3,), rng, xyz_lr, lambda_opacity,
+             [pseudo_camera, pseudo_gt_depth, pseudo_scale])
+            -> (state, StepMetrics)
+    """
+    del bin_capacity  # future: thread into rasterize
+
+    def step_fn(state: TrainState, camera: Camera, gt_image, gt_mask, gt_depth,
+                bg, rng, xyz_lr, lambda_opacity,
+                pseudo_camera=None, pseudo_gt_depth=None, pseudo_scale=None):
+        model = state.model
+        cap = model.params.capacity
+        h, w = camera.height, camera.width
+
+        if ray_jitter:
+            rng, krj = jax.random.split(rng)
+            subpix = jax.random.uniform(krj, (h, w, 2), jnp.float32) - 0.5
+        else:
+            subpix = None
+
+        dummies0 = (jnp.zeros((cap, 2)), jnp.zeros((cap, 2)))
+
+        def loss_fn(params, dummies):
+            m = model.replace(params=params)
+            out = render(
+                m, camera, bg, kernel_size=kernel_size,
+                subpixel_offset=subpix,
+                mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
+                backend=backend, testing=testing_render,
+            )
+            image = out.color * gt_mask[..., None]
+            gt = gt_image * gt_mask[..., None]
+            if resample_gt and subpix is not None:
+                gt = resample_with_offset(gt, subpix)
+
+            if photometric:
+                photo, ll1 = photometric_loss(
+                    jnp.transpose(image, (2, 0, 1)),
+                    jnp.transpose(gt, (2, 0, 1)),
+                    opt_cfg.lambda_dssim,
+                )
+                total = photo
+            else:
+                # IDU views without refinement skip the photometric term
+                # (reference train.py:772-781).
+                ll1 = jnp.zeros(())
+                total = jnp.zeros(())
+
+            d_loss = jnp.zeros(())
+            if use_depth and opt_cfg.lambda_depth > 0:
+                d_loss = depth_pearson_loss(gt_depth * gt_mask,
+                                            out.depth * gt_mask)
+                total = total + opt_cfg.lambda_depth * d_loss
+
+            o_loss = opacity_entropy_loss(get_opacity(params), m.aux.alive)
+            total = total + lambda_opacity * o_loss
+
+            if use_pseudo:
+                pout = render(
+                    m, pseudo_camera, bg, kernel_size=kernel_size,
+                    backend=backend,
+                )
+                pd = depth_pearson_loss(pseudo_gt_depth, pout.depth)
+                pd = jnp.where(jnp.isnan(pd), 0.0, pd)
+                total = total + pseudo_scale * opt_cfg.lambda_pseudo_depth * pd
+                d_loss = d_loss + pd
+
+            aux = {
+                "l1": ll1,
+                "depth_loss": d_loss,
+                "opacity_loss": o_loss,
+                "radii": out.radii,
+                "psnr": psnr(image, gt),
+            }
+            return total, aux
+
+        (loss, aux_out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(model.params, dummies0)
+        gparams, gdummies = grads
+
+        new_aux = add_densification_stats(
+            model.aux, gdummies[0], gdummies[1], aux_out["radii"], w, h
+        )
+
+        lr_tree = make_lr_tree(model.params, opt_cfg, xyz_lr)
+        wd_tree = make_weight_decay_tree(model.params, opt_cfg)
+        new_params, new_opt = adam_update(
+            gparams, state.opt, model.params, lr_tree,
+            weight_decay_tree=wd_tree,
+        )
+
+        new_state = TrainState(
+            model=model.replace(params=new_params, aux=new_aux),
+            opt=new_opt,
+            step=state.step + 1,
+        )
+        metrics = StepMetrics(
+            loss=loss,
+            l1=aux_out["l1"],
+            depth_loss=aux_out["depth_loss"],
+            opacity_loss=aux_out["opacity_loss"],
+            psnr=aux_out["psnr"],
+            n_alive=jnp.sum(new_aux.alive),
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn)
+
+
+def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled"):
+    """Jitted no-grad render for test-time evaluation."""
+
+    def fn(model: GaussianModelState, camera: Camera, bg):
+        return render(model, camera, bg, kernel_size=kernel_size,
+                      testing=True, backend=backend)
+
+    return jax.jit(fn)
