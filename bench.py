@@ -1,0 +1,90 @@
+"""Benchmark driver: steady-state Stage-1 training throughput on real TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the Skyfall-GS Stage-1 hot loop (render -> L1+SSIM+entropy loss ->
+backward through the tiled Pallas rasterizer -> Adam) on a synthetic
+satellite-like scene at 512x512 with 100k Gaussians — the reference's
+steady-state regime (JAX scenes train 512-1024 px with 1e5-1e6 splats).
+
+The reference repo publishes no throughput numbers (BASELINE.md); the
+baseline constant below is the commonly reported mip-splatting-class
+single-A100 figure for this regime (~20 it/s), so vs_baseline > 1 means
+faster than the CUDA reference class.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 20.0  # A100-class mip-splatting, 512px / ~1e5 splats
+
+N_GAUSSIANS = 100_000
+IMG = 512
+WARMUP = 8
+MEASURE = 40
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from skyfall_gs_tpu.config import OptimizationConfig
+    from skyfall_gs_tpu.core.camera import orbit_cameras
+    from skyfall_gs_tpu.model.gaussians import create_from_points
+    from skyfall_gs_tpu.train.step import init_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    # satellite-like: disk of radius ~256 with structure height
+    r = 256 * np.sqrt(rng.uniform(0, 1, N_GAUSSIANS))
+    th = rng.uniform(0, 2 * np.pi, N_GAUSSIANS)
+    pts = np.stack([r * np.cos(th), r * np.sin(th),
+                    rng.uniform(0, 40, N_GAUSSIANS)], 1).astype(np.float32)
+    cols = rng.uniform(0, 1, (N_GAUSSIANS, 3)).astype(np.float32)
+
+    state = create_from_points(pts, cols, capacity=int(N_GAUSSIANS * 1.25))
+    state = state.replace(
+        active_sh_degree=3,
+        aux=state.aux.replace(filter_3d=jnp.full(state.params.capacity, 0.3)),
+    )
+    ts = init_train_state(state)
+
+    cams = orbit_cameras([0, 0, 0], 50.0, 500.0, num_cams=8,
+                         width=IMG, height=IMG, fov_deg=60.0, uid_base=0)
+    gt = jnp.asarray(rng.uniform(0, 1, (IMG, IMG, 3)), jnp.float32)
+    mask = jnp.ones((IMG, IMG), jnp.float32)
+    depth = jnp.asarray(rng.uniform(1, 500, (IMG, IMG)), jnp.float32)
+    bg = jnp.zeros(3)
+
+    opt_cfg = OptimizationConfig()
+    step = make_train_step(opt_cfg, use_depth=True)
+
+    k = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        k, kk = jax.random.split(k)
+        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg, kk,
+                           jnp.float32(1e-4), jnp.float32(0.1))
+    jax.block_until_ready(ts.model.params.xyz)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE):
+        k, kk = jax.random.split(k)
+        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg, kk,
+                           jnp.float32(1e-4), jnp.float32(0.1))
+    jax.block_until_ready(ts.model.params.xyz)
+    dt = time.perf_counter() - t0
+
+    its = MEASURE / dt
+    print(json.dumps({
+        "metric": "stage1_train_iters_per_sec_512px_100k",
+        "value": round(its, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

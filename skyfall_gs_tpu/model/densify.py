@@ -120,6 +120,9 @@ def densify_and_prune(
     n_alive0 = jnp.sum(alive)
     ratio = jnp.sum((grads >= max_grad) & alive) / jnp.maximum(n_alive0, 1)
     q_thresh = _masked_quantile(grads_abs, alive, 1.0 - ratio)
+    # Degenerate guard: with no accumulated stats Q would be 0 and >= Q
+    # would select everything; disable abs-based selection instead.
+    q_thresh = jnp.where(jnp.sum(grads_abs) > 0.0, q_thresh, jnp.inf)
 
     scaling = get_scaling(params)
     scale_max = jnp.max(scaling, axis=1)

@@ -32,7 +32,9 @@ def pearson_corr(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     xm = x - jnp.mean(x)
     ym = y - jnp.mean(y)
     num = jnp.sum(xm * ym)
-    den = jnp.sqrt(jnp.sum(xm * xm) * jnp.sum(ym * ym)) + 1e-8
+    # eps inside the sqrt keeps the gradient finite when either signal is
+    # constant (e.g. an untextured pseudo view).
+    den = jnp.sqrt(jnp.sum(xm * xm) * jnp.sum(ym * ym) + 1e-12)
     return num / den
 
 

@@ -324,7 +324,7 @@ def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
         num_scalar_prefetch=2,
         grid=(t_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
         ],
@@ -356,7 +356,7 @@ def _bwd_call(cfg: _Config, attrs, start, count, offx, offy, outres, tfin,
         num_scalar_prefetch=2,
         grid=(t_total,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
@@ -366,7 +366,7 @@ def _bwd_call(cfg: _Config, attrs, start, count, offx, offy, outres, tfin,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, NA, CHUNK), jnp.float32),
             pltpu.VMEM((2, NA, CHUNK), jnp.float32),

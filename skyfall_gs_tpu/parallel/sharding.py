@@ -1,0 +1,174 @@
+"""Multi-chip training: view-parallel data parallelism over a device mesh.
+
+The reference trains one view per step on one GPU.  On a TPU slice we train
+B views per step — one per device along the ``data`` mesh axis — with the
+Gaussian state replicated and gradients/statistics combined with XLA
+collectives over ICI:
+
+  * parameter gradients: ``pmean`` (equivalent to averaging the B per-view
+    losses);
+  * densification statistics: ``psum`` of per-view screen-gradient
+    accumulators and visibility counts, ``pmax`` of radii — the exact
+    multi-view generalization of the reference's sequential accumulation
+    (scene/gaussian_model.py:744-749 over successive steps);
+  * metrics: ``pmean``.
+
+Implemented with ``shard_map`` so the per-device body is the ordinary
+single-view step (including the Pallas rasterizer) and the collectives are
+explicit.  The optimizer update runs replicated — identical on every device
+because the pmean'd gradients are identical.
+
+Gaussian-sharded rasterization (sharding the N-splat state itself across
+devices with depth-partitioned compositing) is the planned second axis; the
+binning layer already isolates per-tile depth ordering, which is the merge
+primitive it needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from skyfall_gs_tpu.model.densify import add_densification_stats
+from skyfall_gs_tpu.model.gaussians import get_opacity
+from skyfall_gs_tpu.model.optim import (
+    adam_update,
+    make_lr_tree,
+    make_weight_decay_tree,
+)
+from skyfall_gs_tpu.model.render import render
+from skyfall_gs_tpu.ops.losses import (
+    depth_pearson_loss,
+    opacity_entropy_loss,
+    photometric_loss,
+    psnr,
+)
+from skyfall_gs_tpu.train.step import StepMetrics, TrainState
+
+
+def make_parallel_train_step(
+    mesh: Mesh,
+    opt_cfg,
+    kernel_size: float = 0.1,
+    backend: str = "tiled",
+    use_depth: bool = True,
+    axis: str = "data",
+):
+    """Build the jitted multi-device train step.
+
+    Signature of the returned function:
+        step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
+             depths (B,H,W), bg (3,), xyz_lr, lambda_opacity)
+          -> (state, StepMetrics)
+    where B == mesh size along ``axis``.
+    """
+
+    def local_step(state: TrainState, cam_b, image_b, mask_b, depth_b, bg,
+                   xyz_lr, lambda_opacity):
+        # Local shard: exactly one view.
+        camera = jax.tree.map(lambda x: x[0], cam_b)
+        gt_image, gt_mask, gt_depth = image_b[0], mask_b[0], depth_b[0]
+        model = state.model
+        cap = model.params.capacity
+        h, w = camera.height, camera.width
+
+        dummies0 = (jnp.zeros((cap, 2)), jnp.zeros((cap, 2)))
+
+        def loss_fn(params, dummies):
+            m = model.replace(params=params)
+            out = render(m, camera, bg, kernel_size=kernel_size,
+                         mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
+                         backend=backend)
+            image = out.color * gt_mask[..., None]
+            gt = gt_image * gt_mask[..., None]
+            photo, ll1 = photometric_loss(
+                jnp.transpose(image, (2, 0, 1)),
+                jnp.transpose(gt, (2, 0, 1)),
+                opt_cfg.lambda_dssim)
+            total = photo
+            d_loss = jnp.zeros(())
+            if use_depth and opt_cfg.lambda_depth > 0:
+                d_loss = depth_pearson_loss(gt_depth * gt_mask,
+                                            out.depth * gt_mask)
+                total = total + opt_cfg.lambda_depth * d_loss
+            o_loss = opacity_entropy_loss(get_opacity(params), m.aux.alive)
+            total = total + lambda_opacity * o_loss
+            return total, {"l1": ll1, "depth_loss": d_loss,
+                           "opacity_loss": o_loss, "radii": out.radii,
+                           "psnr": psnr(image, gt)}
+
+        (loss, aux_out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
+        gparams, gdummies = grads
+
+        # ---- collectives over ICI ----------------------------------------
+        gparams = jax.lax.pmean(gparams, axis)
+        # Densification stats: per-view accumulators sum across devices;
+        # maxima take pmax — the exact B-view generalization of the
+        # reference's per-step accumulation.
+        aux0 = model.aux
+        aux1 = add_densification_stats(aux0, gdummies[0], gdummies[1],
+                                       aux_out["radii"], w, h)
+        new_aux = aux0.replace(
+            grad_accum=aux0.grad_accum + jax.lax.psum(
+                aux1.grad_accum - aux0.grad_accum, axis),
+            grad_accum_abs=aux0.grad_accum_abs + jax.lax.psum(
+                aux1.grad_accum_abs - aux0.grad_accum_abs, axis),
+            grad_accum_abs_max=jax.lax.pmax(aux1.grad_accum_abs_max, axis),
+            denom=aux0.denom + jax.lax.psum(aux1.denom - aux0.denom, axis),
+            max_radii2d=jax.lax.pmax(aux1.max_radii2d, axis),
+        )
+
+        lr_tree = make_lr_tree(model.params, opt_cfg, xyz_lr)
+        wd_tree = make_weight_decay_tree(model.params, opt_cfg)
+        new_params, new_opt = adam_update(
+            gparams, state.opt, model.params, lr_tree,
+            weight_decay_tree=wd_tree)
+
+        new_state = TrainState(
+            model=model.replace(params=new_params, aux=new_aux),
+            opt=new_opt, step=state.step + 1)
+        metrics = StepMetrics(
+            loss=jax.lax.pmean(loss, axis),
+            l1=jax.lax.pmean(aux_out["l1"], axis),
+            depth_loss=jax.lax.pmean(aux_out["depth_loss"], axis),
+            opacity_loss=aux_out["opacity_loss"],
+            psnr=jax.lax.pmean(aux_out["psnr"], axis),
+            n_alive=jnp.sum(new_aux.alive),
+        )
+        return new_state, metrics
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
+                         backend: str = "tiled", axis: str = "data"):
+    """Batched view-parallel rendering: B cameras -> B images across the mesh.
+
+    Used for IDU orbit-set generation and batch evaluation (the reference
+    renders these sequentially, train.py:350-357)."""
+
+    def local(model, cam_b, bg):
+        camera = jax.tree.map(lambda x: x[0], cam_b)
+        out = render(model, camera, bg, kernel_size=kernel_size,
+                     backend=backend, testing=True)
+        return out.color[None], out.depth[None]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

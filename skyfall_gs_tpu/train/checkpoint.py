@@ -56,6 +56,7 @@ def save_checkpoint(path: str, train_state, iteration: int) -> None:
     state_dict = serialization.to_state_dict(train_state)
     flat = _flatten(state_dict)
     model = train_state.model
+    emb = model.params.appearance_embeddings
     meta = {
         "iteration": int(iteration),
         "active_sh_degree": model.active_sh_degree,
@@ -63,6 +64,7 @@ def save_checkpoint(path: str, train_state, iteration: int) -> None:
         "appearance": list(model.appearance),
         "spatial_lr_scale": model.spatial_lr_scale,
         "capacity": int(model.params.capacity),
+        "num_cameras": int(emb.shape[0]) if emb is not None else 0,
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **flat)
 

@@ -1,0 +1,193 @@
+"""Rasterizer tests: projection analytics, oracle sanity, tiled parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from skyfall_gs_tpu.core.camera import camera_from_c2w, look_at_c2w
+from skyfall_gs_tpu.ops.binning import bin_gaussians, num_tiles
+from skyfall_gs_tpu.ops.projection import project_gaussians
+from skyfall_gs_tpu.ops.rasterize import rasterize
+from tests.conftest import make_random_splats, make_test_camera
+
+
+def _splat_args(rng, n=80):
+    d = make_random_splats(rng, n)
+    return (d["means3d"], d["scales"], d["quats"], d["opacities"], d["colors"])
+
+
+class TestProjection:
+    def test_center_projects_to_image_center(self):
+        cam = make_test_camera(64, 64, eye=(0.0, -5.0, 0.0))
+        means = jnp.asarray([[0.0, 0.0, 0.0]])
+        proj = project_gaussians(
+            means, jnp.full((1, 3), 0.05), jnp.asarray([[1.0, 0, 0, 0]]),
+            jnp.ones(1), cam)
+        # target point is on the optical axis -> pixel center (W-1)/2
+        np.testing.assert_allclose(proj.mean2d[0], [31.5, 31.5], atol=1e-3)
+        assert float(proj.depth[0]) == pytest.approx(5.0, rel=1e-5)
+        assert int(proj.radius[0]) > 0
+
+    def test_behind_camera_culled(self):
+        cam = make_test_camera(32, 32, eye=(0.0, -5.0, 0.0))
+        means = jnp.asarray([[0.0, -10.0, 0.0]])  # behind the eye
+        proj = project_gaussians(
+            means, jnp.full((1, 3), 0.05), jnp.asarray([[1.0, 0, 0, 0]]),
+            jnp.ones(1), cam)
+        assert int(proj.radius[0]) == 0
+
+    def test_mask_culls(self, rng):
+        cam = make_test_camera()
+        args = _splat_args(rng, 40)
+        proj = project_gaussians(args[0], args[1], args[2], args[3], cam,
+                                 mask=jnp.zeros(40, bool))
+        assert int(jnp.sum(proj.radius)) == 0
+
+    def test_mip_compensation_shrinks_small_splats(self):
+        cam = make_test_camera(64, 64, eye=(0.0, -5.0, 0.0))
+        tiny = project_gaussians(
+            jnp.zeros((1, 3)), jnp.full((1, 3), 1e-4),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.ones(1), cam, kernel_size=0.1)
+        big = project_gaussians(
+            jnp.zeros((1, 3)), jnp.full((1, 3), 0.5),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.ones(1), cam, kernel_size=0.1)
+        assert float(tiny.compensation[0]) < 0.1
+        assert float(big.compensation[0]) > 0.9
+
+
+class TestOracle:
+    def test_opaque_splat_renders_its_color(self):
+        cam = make_test_camera(32, 32, eye=(0.0, -3.0, 0.0))
+        out = rasterize(
+            jnp.zeros((1, 3)), jnp.full((1, 3), 0.5),
+            jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray([4.0]),  # alpha clamped
+            jnp.asarray([[0.2, 0.5, 0.9]]), cam, bg=jnp.zeros(3),
+            backend="reference")
+        center = np.asarray(out.color[16, 16])
+        # alpha clamps at 0.99 -> color ~= 0.99 * c
+        np.testing.assert_allclose(center, 0.99 * np.array([0.2, 0.5, 0.9]),
+                                   atol=5e-3)
+        assert float(out.alpha[16, 16]) == pytest.approx(0.99, abs=1e-3)
+        assert float(out.depth[16, 16]) == pytest.approx(3.0 * 0.99, rel=1e-2)
+
+    def test_background_composited(self, rng):
+        cam = make_test_camera()
+        out = rasterize(*_splat_args(rng, 5), cam, bg=jnp.asarray([1.0, 0, 0]),
+                        backend="reference")
+        # far corners should be mostly background
+        corner = np.asarray(out.color[0, 0])
+        assert corner[0] > corner[1]
+
+    def test_front_to_back_order(self):
+        cam = make_test_camera(32, 32, eye=(0.0, -5.0, 0.0))
+        # red splat in front (y=-1), green behind (y=+1), both opaque-ish
+        means = jnp.asarray([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+        out = rasterize(
+            means, jnp.full((2, 3), 0.5), jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1)),
+            jnp.asarray([0.9, 0.9]), jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]),
+            cam, bg=jnp.zeros(3), backend="reference")
+        c = np.asarray(out.color[16, 16])
+        assert c[0] > c[1]  # red (closer) dominates
+
+
+class TestBinning:
+    def test_counts_and_alignment(self, rng):
+        cam = make_test_camera(64, 48)
+        args = _splat_args(rng, 60)
+        proj = project_gaussians(args[0], args[1], args[2], args[3], cam)
+        binned = bin_gaussians(proj.mean2d, proj.depth, proj.radius,
+                               48, 64, cap=4096, chunk=256)
+        ty, tx = num_tiles(48, 64)
+        assert binned.tile_start.shape == (ty * tx,)
+        starts = np.asarray(binned.tile_start)
+        assert (starts % 256 == 0).all()
+        counts = np.asarray(binned.tile_count)
+        assert counts.sum() <= int(binned.num_entries)
+        assert int(binned.overflow) == 0
+
+    def test_depth_sorted_within_tile(self, rng):
+        cam = make_test_camera(32, 32)
+        args = _splat_args(rng, 60)
+        proj = project_gaussians(args[0], args[1], args[2], args[3], cam)
+        binned = bin_gaussians(proj.mean2d, proj.depth, proj.radius,
+                               32, 32, cap=4096, chunk=256)
+        depth = np.asarray(proj.depth)
+        gi = np.asarray(binned.gather_idx)
+        for t in range(4):
+            s, c = int(binned.tile_start[t]), int(binned.tile_count[t])
+            d = depth[gi[s:s + c]]
+            assert (np.diff(d) >= 0).all()
+
+
+@pytest.mark.slow
+class TestTiledParity:
+    def test_forward_matches_oracle(self, rng):
+        cam = make_test_camera(32, 32)
+        args = _splat_args(rng, 80)
+        a = rasterize(*args, cam, bg=jnp.zeros(3), backend="reference")
+        b = rasterize(*args, cam, bg=jnp.zeros(3), backend="tiled")
+        assert float(jnp.max(jnp.abs(a.color - b.color))) < 2e-2
+        assert float(jnp.mean(jnp.abs(a.color - b.color))) < 1e-3
+        assert float(jnp.max(jnp.abs(a.alpha - b.alpha))) < 2e-2
+        assert float(jnp.max(jnp.abs(a.depth - b.depth))) < 5e-2
+
+    def test_gradients_match_oracle(self, rng):
+        cam = make_test_camera(32, 32)
+        args = _splat_args(rng, 60)
+
+        def loss(backend, *xs):
+            out = rasterize(*xs, cam, bg=jnp.zeros(3), backend=backend)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+
+        ga = jax.grad(lambda *xs: loss("reference", *xs), argnums=(0, 1, 2, 3, 4))(*args)
+        gb = jax.grad(lambda *xs: loss("tiled", *xs), argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(ga, gb):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-6
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
+
+    def test_abs_gradients_nonnegative_and_bound_signed(self, rng):
+        cam = make_test_camera(32, 32)
+        args = _splat_args(rng, 60)
+        n = 60
+
+        def loss(dummies):
+            out = rasterize(*args, cam, bg=jnp.zeros(3),
+                            mean2d_dummy=dummies[0],
+                            mean2d_abs_dummy=dummies[1], backend="tiled")
+            return jnp.sum(out.color ** 2)
+
+        g = jax.grad(loss)((jnp.zeros((n, 2)), jnp.zeros((n, 2))))
+        signed, absd = np.asarray(g[0]), np.asarray(g[1])
+        assert (absd >= -1e-6).all()
+        # |sum of per-pixel grads| <= sum of |per-pixel grads|
+        assert (np.abs(signed) <= absd + 1e-4).all()
+        assert absd.sum() > 0.0
+
+    def test_subpixel_offset_parity(self, rng):
+        cam = make_test_camera(32, 32)
+        args = _splat_args(rng, 40)
+        off = jnp.asarray(rng.uniform(-0.5, 0.5, (32, 32, 2)).astype(np.float32))
+        a = rasterize(*args, cam, bg=jnp.zeros(3), subpixel_offset=off,
+                      backend="reference")
+        b = rasterize(*args, cam, bg=jnp.zeros(3), subpixel_offset=off,
+                      backend="tiled")
+        assert float(jnp.max(jnp.abs(a.color - b.color))) < 2e-2
+
+    def test_oracle_gradcheck_finite_differences(self, rng):
+        # Finite-difference check of the oracle (the analytic spec).
+        cam = make_test_camera(16, 16)
+        args = _splat_args(rng, 8)
+
+        def f(op):
+            return jnp.sum(rasterize(args[0], args[1], args[2], op, args[4],
+                                     cam, bg=jnp.zeros(3),
+                                     backend="reference").color ** 2)
+
+        op0 = args[3]
+        g = jax.grad(f)(op0)
+        eps = 1e-3
+        for i in range(4):
+            e = jnp.zeros_like(op0).at[i].set(eps)
+            fd = (f(op0 + e) - f(op0 - e)) / (2 * eps)
+            assert float(jnp.abs(fd - g[i])) < 2e-2 * max(1.0, abs(float(fd)))
