@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from skyfall_gs_tpu.model.densify import add_densification_stats
 from skyfall_gs_tpu.model.gaussians import get_opacity
@@ -147,7 +147,7 @@ def make_parallel_train_step(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -169,6 +169,6 @@ def make_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
         local, mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
