@@ -96,9 +96,28 @@ def bin_gaussians(
     tx = x0[gidx] + rank % rw
     ty = y0[gidx] + rank // rw
     tile = jnp.where(live, ty * tiles_x + tx, t_total)   # sentinel tile
-    key_depth = jnp.where(live, depth[gidx], jnp.inf)
 
-    tile_s, _, gidx_s = jax.lax.sort((tile, key_depth, gidx), num_keys=2)
+    # Single packed (tile | quantized depth) int32 key: one 1-key sort with
+    # one payload column is ~2x cheaper on TPU than a 2-key sort with two.
+    # Depth is quantized to the bits left under the tile field; order among
+    # splats closer than (depth range / 2^depth_bits) is arbitrary — the
+    # same tie-class the CUDA rasterizer has at float-key resolution.
+    tile_bits = max(int(t_total + 1).bit_length(), 1)
+    depth_bits = 31 - tile_bits
+    vis = radius > 0
+    big = jnp.float32(3.4e38)
+    dmin = jnp.min(jnp.where(vis, depth, big))
+    dmax = jnp.max(jnp.where(vis, depth, -big))
+    dscale = (2.0 ** depth_bits - 1.0) / jnp.maximum(dmax - dmin, 1e-12)
+    # Clip in integer space: 2^bits - 1 is not exactly representable in f32
+    # for bits > 24, and a float-space clip would round up and overflow the
+    # depth field into the neighboring tile's bucket.
+    dq = jnp.maximum((depth[gidx] - dmin) * dscale, 0.0).astype(jnp.int32)
+    dq = jnp.minimum(dq, (1 << depth_bits) - 1)
+    key = (tile << depth_bits) | dq
+
+    key_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
+    tile_s = (key_s >> depth_bits).astype(jnp.int32)
 
     # Per-tile ranges in the sorted order.
     tile_edges = jnp.searchsorted(tile_s, jnp.arange(t_total + 1, dtype=jnp.int32))

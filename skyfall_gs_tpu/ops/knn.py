@@ -18,7 +18,15 @@ import numpy as np
 
 
 def mean_sq_dist_3nn_host(points: np.ndarray) -> np.ndarray:
-    """Exact 3-NN mean squared distance on the host via a KD-tree."""
+    """Exact 3-NN mean squared distance on the host.
+
+    Prefers the native grid-hashed C++ implementation
+    (skyfall_gs_tpu.native); falls back to a scipy KD-tree."""
+    from skyfall_gs_tpu import native
+
+    if native.available():
+        return native.mean_sq_dist_3nn(points)
+
     from scipy.spatial import cKDTree
 
     pts = np.asarray(points, np.float32)

@@ -414,8 +414,14 @@ def _make_composite(cfg: _Config):
 # ----------------------------------------------------------------------------
 
 def default_capacity(n: int) -> int:
-    """Heuristic duplicated-entry capacity: ~8 tiles per splat, floored."""
-    cap = max(1 << 16, 8 * n)
+    """Heuristic duplicated-entry capacity: ~4 tiles per splat, floored.
+
+    Measured on satellite-like scenes the duplication factor is ~2.5x the
+    visible count; 4x leaves headroom while keeping the sort (the dominant
+    binning cost) small.  Overflow drops excess entries and is reported by
+    ops.binning for callers that want to grow it.
+    """
+    cap = max(1 << 16, 4 * n)
     return -(-cap // CHUNK) * CHUNK
 
 

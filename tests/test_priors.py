@@ -1,0 +1,108 @@
+"""Generative-prior tests: FlowEdit ODE, ViT depth net, registries."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skyfall_gs_tpu.priors import (
+    IdentityRefiner,
+    RenderDepthPredictor,
+    get_depth_predictor,
+    get_refiner,
+)
+from skyfall_gs_tpu.priors.flowedit import FlowEditRefiner, flow_edit_ode
+from skyfall_gs_tpu.priors.moge import (
+    MoGePredictor,
+    ViTConfig,
+    init_vit_params,
+    moge_depth,
+)
+
+
+class TestRegistries:
+    def test_identity_refiner(self, rng):
+        r = get_refiner("identity")
+        imgs = [rng.uniform(size=(8, 8, 3)).astype(np.float32)]
+        out = r.run(imgs, n_min=0, n_max=5)
+        np.testing.assert_array_equal(out[0], imgs[0])
+
+    def test_render_depth_predictor(self, rng):
+        d = get_depth_predictor("render")
+        img = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        out = d(img)
+        assert out.shape == (8, 8)
+
+    def test_gated_backends_raise_clearly(self):
+        with pytest.raises(RuntimeError, match="velocity_fn"):
+            get_refiner("flowedit")
+        with pytest.raises(RuntimeError, match="weights"):
+            get_depth_predictor("moge")
+
+
+class TestFlowEditODE:
+    def test_linear_flow_translates_distribution(self, rng):
+        """With v(z, t, c) = c - eps-estimate of a rectified flow between a
+        point mass and noise, the FlowEdit delta moves x_src toward the
+        target condition by (c_tar - c_src)."""
+        # toy velocity field of the OT flow to a point mass at c:
+        #   z_t = (1-t) c + t eps  =>  v = (z - c*... ) closed form: v = (z_t - c)/t... use
+        # the known rectified-flow field v(z,t) = (z - c) * d/dt log ... simplest:
+        # linear model v(z, t, c) = c - (z - t*0)  is not a flow; instead use
+        # v(z, t, c) = (c - z) / max(t, eps) * (-1)?  Keep it simpler: constant
+        # field v = c. Then dv = c_tar - c_src and the edit shifts by
+        # (t_min_grid - t_max_grid) * dv summed = -(window length) * dv.
+        def velocity(z, t, c):
+            return jnp.full_like(z, c)
+
+        x = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+        num_steps = 10
+        n_min, n_max = 0, 5
+        out = flow_edit_ode(velocity, x, 1.0, 3.0, jax.random.PRNGKey(0),
+                            num_steps=num_steps, n_min=n_min, n_max=n_max)
+        # each step: dt = -1/num_steps, dv = 2 -> total = -(5/10)*2 = -1
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x) - 1.0,
+                                   atol=1e-5)
+
+    def test_identical_conditions_noop(self, rng):
+        def velocity(z, t, c):
+            return jnp.sin(z) + c
+
+        x = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+        out = flow_edit_ode(velocity, x, 0.5, 0.5, jax.random.PRNGKey(1),
+                            num_steps=8, n_min=0, n_max=8, n_avg=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_refiner_with_injected_model(self, rng):
+        ref = FlowEditRefiner(
+            velocity_fn=lambda z, t, c: jnp.full_like(z, c),
+            src_cond=0.0, tar_cond=1.0, num_steps=10)
+        imgs = [rng.uniform(size=(4, 4, 3)).astype(np.float32)
+                for _ in range(3)]
+        out = ref.run(imgs, n_min=0, n_max=10, n_max_end=0)
+        assert len(out) == 3
+        # first image gets the full window (shift -1), last gets none
+        np.testing.assert_allclose(out[0], imgs[0] - 1.0, atol=1e-5)
+        np.testing.assert_allclose(out[2], imgs[2], atol=1e-5)
+
+
+class TestMoGeNet:
+    def test_tiny_vit_shapes_and_jit(self, rng):
+        cfg = ViTConfig(patch_size=14, width=64, depth=2, heads=4,
+                        img_size=56, out_layers=(0, 1), head_width=32)
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        imgs = jnp.asarray(rng.uniform(size=(2, 56, 56, 3)).astype(np.float32))
+        depth = jax.jit(lambda p, x: moge_depth(p, x, cfg))(params, imgs)
+        assert depth.shape == (2, 56, 56)
+        assert bool(jnp.all(depth > 0))
+        assert bool(jnp.all(jnp.isfinite(depth)))
+
+    def test_predictor_with_params(self, rng):
+        cfg = ViTConfig(patch_size=14, width=64, depth=2, heads=4,
+                        img_size=56, out_layers=(0, 1), head_width=32)
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        pred = MoGePredictor(cfg=cfg, params=params)
+        imgs = [rng.uniform(size=(40, 30, 3)).astype(np.float32)]
+        out = pred.run(imgs)
+        assert out[0].shape == (40, 30)
