@@ -83,6 +83,7 @@ def render(
     mean2d_abs_dummy: Optional[jnp.ndarray] = None,
     backend: str = "tiled",
     with_3d_filter: bool = True,
+    bin_capacity: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view from the model state."""
     params = state.params
@@ -111,4 +112,5 @@ def render(
         mean2d_dummy=mean2d_dummy,
         mean2d_abs_dummy=mean2d_abs_dummy,
         backend=backend,
+        bin_capacity=bin_capacity,
     )

@@ -47,6 +47,27 @@ def num_tiles(height: int, width: int) -> tuple[int, int]:
     return -(-height // TILE), -(-width // TILE)
 
 
+def _tile_rects(mean2d, radius, tiles_y, tiles_x):
+    """Per-splat touched-tile rectangle (CUDA getRect convention)."""
+    r = radius.astype(jnp.float32)
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    rect_w = x1 - x0
+    rect_h = y1 - y0
+    count = jnp.where(radius > 0, rect_w * rect_h, 0)
+    return x0, y0, rect_w, count
+
+
+def count_entries(mean2d, radius, height: int, width: int) -> jnp.ndarray:
+    """Total duplicated (splat, tile) entries a view would produce — used by
+    trainers to right-size the binning capacity."""
+    tiles_y, tiles_x = num_tiles(height, width)
+    return jnp.sum(_tile_rects(mean2d, radius, tiles_y, tiles_x)[3])
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -72,30 +93,10 @@ def bin_gaussians(
     t_total = tiles_y * tiles_x
     cap_pad = cap + t_total * chunk  # worst-case per-tile alignment padding
 
-    r = radius.astype(jnp.float32)
-    mx, my = mean2d[:, 0], mean2d[:, 1]
-    # Tile rectangle, matching the CUDA getRect convention.
-    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((my + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
-    rect_w = x1 - x0
-    rect_h = y1 - y0
-    count = jnp.where(radius > 0, rect_w * rect_h, 0)
+    x0, y0, rect_w, count = _tile_rects(mean2d, radius, tiles_y, tiles_x)
 
     cum = jnp.cumsum(count) - count                      # exclusive prefix
     total = cum[-1] + count[-1] if n > 0 else jnp.int32(0)
-
-    # One entry per (gaussian, touched tile).
-    gidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), count,
-                      total_repeat_length=cap)
-    entry = jnp.arange(cap, dtype=jnp.int32)
-    live = entry < jnp.minimum(total, cap)
-    rank = entry - cum[gidx]
-    rw = jnp.maximum(rect_w[gidx], 1)
-    tx = x0[gidx] + rank % rw
-    ty = y0[gidx] + rank // rw
-    tile = jnp.where(live, ty * tiles_x + tx, t_total)   # sentinel tile
 
     # Single packed (tile | quantized depth) int32 key: one 1-key sort with
     # one payload column is ~2x cheaper on TPU than a 2-key sort with two.
@@ -112,9 +113,23 @@ def bin_gaussians(
     # Clip in integer space: 2^bits - 1 is not exactly representable in f32
     # for bits > 24, and a float-space clip would round up and overflow the
     # depth field into the neighboring tile's bucket.
-    dq = jnp.maximum((depth[gidx] - dmin) * dscale, 0.0).astype(jnp.int32)
-    dq = jnp.minimum(dq, (1 << depth_bits) - 1)
-    key = (tile << depth_bits) | dq
+    dq_g = jnp.maximum((depth - dmin) * dscale, 0.0).astype(jnp.int32)
+    dq_g = jnp.minimum(dq_g, (1 << depth_bits) - 1)
+
+    # One entry per (gaussian, touched tile); all per-gaussian quantities are
+    # packed so the expansion is a single 4-column row gather.
+    gidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), count,
+                      total_repeat_length=cap)
+    packed = jnp.stack(
+        [cum.astype(jnp.int32), rect_w, y0 * tiles_x + x0, dq_g], axis=1)
+    e = packed[gidx]                                     # (cap, 4)
+    entry = jnp.arange(cap, dtype=jnp.int32)
+    live = entry < jnp.minimum(total, cap)
+    rank = entry - e[:, 0]
+    rw = jnp.maximum(e[:, 1], 1)
+    tile = e[:, 2] + (rank // rw) * tiles_x + rank % rw
+    key = jnp.where(live, (tile << depth_bits) | e[:, 3],
+                    t_total << depth_bits)
 
     key_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
     tile_s = (key_s >> depth_bits).astype(jnp.int32)
@@ -127,14 +142,13 @@ def bin_gaussians(
     padded_sizes = -(-tile_count // chunk) * chunk
     padded_start = (jnp.cumsum(padded_sizes) - padded_sizes).astype(jnp.int32)
 
-    tile_of_entry = jnp.searchsorted(tile_edges, jnp.arange(cap, dtype=jnp.int32),
-                                     side="right").astype(jnp.int32) - 1
-    tile_of_entry = jnp.clip(tile_of_entry, 0, t_total)
+    # The sorted key already carries each entry's tile — no per-entry search.
     in_real_tile = tile_s < t_total
-    rank_in_tile = jnp.arange(cap, dtype=jnp.int32) - tile_edges[tile_of_entry]
+    tile_c = jnp.minimum(tile_s, t_total - 1)
+    rank_in_tile = jnp.arange(cap, dtype=jnp.int32) - tile_edges[tile_c]
     dest = jnp.where(
         in_real_tile,
-        padded_start[jnp.clip(tile_of_entry, 0, t_total - 1)] + rank_in_tile,
+        padded_start[tile_c] + rank_in_tile,
         cap_pad,  # dropped by scatter
     )
     gather_idx = jnp.full((cap_pad,), n, jnp.int32).at[dest].set(

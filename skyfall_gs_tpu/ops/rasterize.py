@@ -75,6 +75,7 @@ def rasterize(
     mean2d_abs_dummy: Optional[jnp.ndarray] = None,
     with_normals: bool = True,
     backend: str = "tiled",
+    bin_capacity: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view.
 
@@ -118,6 +119,7 @@ def rasterize(
             channels, camera.height, camera.width,
             subpixel_offset=subpixel_offset,
             mean2d_abs_dummy=mean2d_abs_dummy,
+            cap=bin_capacity,
         )
     else:
         raise ValueError(f"unknown rasterize backend: {backend}")

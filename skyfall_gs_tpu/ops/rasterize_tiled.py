@@ -236,8 +236,12 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
     def _():
         dma(0, 0).start()
 
-    def body(c, carry):
-        t_run, q_run = carry
+    def cond(carry):
+        c, t_run, _ = carry
+        return (c < nchunks) & (jnp.max(t_run) >= T_EPS)
+
+    def body(carry):
+        c, t_run, q_run = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -300,18 +304,38 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
 
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
         q_run = jnp.max(jnp.where(keep, q, q_run), axis=1, keepdims=True)
-        return t_run, q_run
+        return c + 1, t_run, q_run
 
-    init = (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    jax.lax.fori_loop(0, nchunks, body, init)
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32))
+    c_fin, _, _ = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(nchunks >= 2)
+    # Drain a prefetch left in flight by an early exit.
+    @pl.when(c_fin < nchunks)
     def _():
-        wdma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+        dma(jax.lax.rem(c_fin, 2), c_fin).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(c_fin >= 2)
     def _():
-        wdma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        wdma(jax.lax.rem(c_fin - 2, 2), c_fin - 2).wait()
+
+    @pl.when(c_fin >= 1)
+    def _():
+        wdma(jax.lax.rem(c_fin - 1, 2), c_fin - 1).wait()
+
+    # Early termination skipped chunks [c_fin, nchunks): their entries were
+    # never composited (zero gradients), but the output region must still be
+    # written — fill with zeros, one buffered DMA at a time.
+    @pl.when(c_fin < nchunks)
+    def _():
+        dbuf[0] = jnp.zeros((NA, CHUNK), jnp.float32)
+
+        def zfill(c, _):
+            wdma(0, c).start()
+            wdma(0, c).wait()
+            return 0
+
+        jax.lax.fori_loop(c_fin, nchunks, zfill, 0)
 
 
 # ----------------------------------------------------------------------------

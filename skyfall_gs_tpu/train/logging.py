@@ -16,10 +16,11 @@ from typing import Optional
 
 class MetricsLogger:
     def __init__(self, model_path: str, log_every: int = 10,
-                 print_every: int = 200):
+                 print_every: int = 200, flush_every: int = 200):
         self.model_path = model_path or "."
         self.log_every = log_every
         self.print_every = print_every
+        self.flush_every = flush_every
         os.makedirs(self.model_path, exist_ok=True)
         self._jsonl = open(os.path.join(self.model_path, "metrics.jsonl"), "a")
         self._tb = None
@@ -32,27 +33,37 @@ class MetricsLogger:
         self._ema_loss = 0.0
         self._t_last = time.time()
         self._step_last = 0
+        self._pending = []  # (iteration, elapsed, device metrics)
 
     def log_step(self, iteration: int, metrics, elapsed: float) -> None:
+        """Buffer device metrics; convert to host floats only at flush time
+        so the training loop never blocks on a device sync per step."""
         if iteration % self.log_every != 0:
             return
-        vals = {k: float(getattr(metrics, k)) for k in metrics._fields}
-        self._ema_loss = 0.4 * vals["loss"] + 0.6 * self._ema_loss
-        now = time.time()
-        its = (iteration - self._step_last) / max(now - self._t_last, 1e-9)
-        self._t_last, self._step_last = now, iteration
-        rec = {"type": "step", "iter": iteration, "elapsed": elapsed,
-               "iters_per_sec": its, **vals}
-        self._jsonl.write(json.dumps(rec) + "\n")
+        self._pending.append((iteration, elapsed, metrics))
+        if iteration % self.flush_every == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        for iteration, elapsed, metrics in self._pending:
+            vals = {k: float(getattr(metrics, k)) for k in metrics._fields}
+            self._ema_loss = 0.4 * vals["loss"] + 0.6 * self._ema_loss
+            now = time.time()
+            its = (iteration - self._step_last) / max(now - self._t_last, 1e-9)
+            self._t_last, self._step_last = now, iteration
+            rec = {"type": "step", "iter": iteration, "elapsed": elapsed,
+                   "iters_per_sec": its, **vals}
+            self._jsonl.write(json.dumps(rec) + "\n")
+            if self._tb:
+                for k, v in vals.items():
+                    self._tb.add_scalar(f"train/{k}", v, iteration)
+                self._tb.add_scalar("train/iters_per_sec", its, iteration)
+            if iteration % self.print_every == 0:
+                print(f"[{iteration}] loss={self._ema_loss:.5f} "
+                      f"psnr={vals['psnr']:.2f} n={int(vals['n_alive'])} "
+                      f"{its:.2f} it/s", flush=True)
+        self._pending.clear()
         self._jsonl.flush()
-        if self._tb:
-            for k, v in vals.items():
-                self._tb.add_scalar(f"train/{k}", v, iteration)
-            self._tb.add_scalar("train/iters_per_sec", its, iteration)
-        if iteration % self.print_every == 0:
-            print(f"[{iteration}] loss={self._ema_loss:.5f} "
-                  f"psnr={vals['psnr']:.2f} n={int(vals['n_alive'])} "
-                  f"{its:.2f} it/s", flush=True)
 
     def log_densify(self, iteration: int, stats) -> None:
         vals = {k: int(getattr(stats, k)) for k in stats._fields}
@@ -76,6 +87,7 @@ class MetricsLogger:
               flush=True)
 
     def close(self) -> None:
+        self.flush()
         self._jsonl.close()
         if self._tb:
             self._tb.close()

@@ -87,6 +87,7 @@ class Trainer:
             "max_grad", "min_opacity", "extent", "max_screen_size",
             "percent_dense"))
         self._reset_opacity_fn = jax.jit(reset_opacity)
+        self.bin_capacity = int(self.pipe_cfg.bin_capacity) or None
         self._eval_render = make_eval_render(cfg.kernel_size,
                                              self.pipe_cfg.rasterizer_backend)
         if self.logger is None:
@@ -151,7 +152,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _get_step_fn(self, use_depth: bool, use_pseudo: bool):
-        key = (use_depth, use_pseudo)
+        key = (use_depth, use_pseudo, self.bin_capacity)
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
                 self.opt_cfg,
@@ -161,8 +162,49 @@ class Trainer:
                 resample_gt=self.model_cfg.resample_gt_image,
                 use_depth=use_depth,
                 use_pseudo=use_pseudo,
+                bin_capacity=self.bin_capacity,
             )
         return self._step_fns[key]
+
+    def _update_bin_capacity(self, state: TrainState) -> None:
+        """Right-size the duplication capacity from the worst view's measured
+        entry count (1.3x headroom, quantized to 128k buckets to bound
+        recompiles).  Binning's sort is the dominant per-step cost, so an
+        oversized static capacity directly wastes wall-clock."""
+        if self.pipe_cfg.bin_capacity:
+            self.bin_capacity = int(self.pipe_cfg.bin_capacity)
+            return
+        from skyfall_gs_tpu.model.gaussians import (
+            opacity_with_3d_filter,
+            scaling_with_3d_filter,
+        )
+        from skyfall_gs_tpu.ops.binning import count_entries
+        from skyfall_gs_tpu.ops.projection import project_gaussians
+
+        if not hasattr(self, "_entry_counters"):
+            self._entry_counters = {}
+
+        def make_counter(h, w):
+            def f(params, filter_3d, alive, cam):
+                scales = scaling_with_3d_filter(params, filter_3d)
+                opac = opacity_with_3d_filter(params, filter_3d)
+                proj = project_gaussians(
+                    params.xyz, scales, params.rotation, opac, cam,
+                    kernel_size=self.model_cfg.kernel_size, mask=alive)
+                return count_entries(proj.mean2d, proj.radius, h, w)
+            return jax.jit(f)
+
+        worst = 0
+        for key, g in self.scene.train_groups.items():
+            if key not in self._entry_counters:
+                self._entry_counters[key] = make_counter(*key)
+            cam = jax.tree.map(lambda x: x[0], g.cameras)
+            worst = max(worst, int(self._entry_counters[key](
+                state.model.params, state.model.aux.filter_3d,
+                state.model.aux.alive, cam)))
+        bucket = 128 * 1024
+        cap = -(-int(worst * 1.3) // bucket) * bucket
+        self.bin_capacity = max(cap, bucket)
 
     def _pick_view(self):
         key, i = self.py_rng.choice(self.flat_index)
@@ -222,6 +264,8 @@ class Trainer:
         pseudo_stack: List = []
         t_start = time.time()
         first_iter = getattr(self, "start_iteration", 0) + 1
+        if self.bin_capacity is None:
+            self._update_bin_capacity(state)
 
         for iteration in range(first_iter, iterations + 1):
             if cooldown is not None:
@@ -295,6 +339,8 @@ class Trainer:
                 path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
                 save_checkpoint(path, state, iteration)
 
+        if self.logger:
+            self.logger.flush()
         return state
 
     # ------------------------------------------------------------------
@@ -322,6 +368,13 @@ class Trainer:
         ))
         if self.logger:
             self.logger.log_densify(int(state.step), stats)
+        # Re-size binning capacity with hysteresis (a change recompiles the
+        # step, so only react to large swings).
+        if not self.pipe_cfg.bin_capacity and self.bin_capacity is not None:
+            old = self.bin_capacity
+            self._update_bin_capacity(state)
+            if 0.5 * old <= self.bin_capacity <= old:
+                self.bin_capacity = old
         return state
 
     # ------------------------------------------------------------------

@@ -102,7 +102,6 @@ def make_train_step(
              [pseudo_camera, pseudo_gt_depth, pseudo_scale])
             -> (state, StepMetrics)
     """
-    del bin_capacity  # future: thread into rasterize
 
     def step_fn(state: TrainState, camera: Camera, gt_image, gt_mask, gt_depth,
                 bg, rng, xyz_lr, lambda_opacity,
@@ -126,6 +125,7 @@ def make_train_step(
                 subpixel_offset=subpix,
                 mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
                 backend=backend, testing=testing_render,
+                bin_capacity=bin_capacity,
             )
             image = out.color * gt_mask[..., None]
             gt = gt_image * gt_mask[..., None]
