@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="IDU refine backend (identity|flowedit)")
     parser.add_argument("--depth_model", type=str, default="render",
                         help="monodepth backend (render|moge)")
+    parser.add_argument("--gui_ip", type=str, default="127.0.0.1")
+    parser.add_argument("--gui_port", type=int, default=0,
+                        help="enable the SIBR viewer bridge on this port")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
     return parser
@@ -82,8 +85,15 @@ def main(argv=None) -> None:
     if opt_cfg.lambda_pseudo_depth > 0:
         depth_pred = get_depth_predictor(args.depth_model)
 
+    gui = None
+    if args.gui_port:
+        from skyfall_gs_tpu.viz.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.gui_ip, args.gui_port)
+
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene,
-                      depth_predictor=depth_pred, rng_seed=args.seed)
+                      depth_predictor=depth_pred, rng_seed=args.seed,
+                      gui=gui)
 
     if args.iterative_datasets_update:
         if not args.start_checkpoint:

@@ -86,6 +86,24 @@ class MetricsLogger:
         print(f"[eval @{iteration}] {split}: L1 {l1:.4f} PSNR {psnr:.2f}",
               flush=True)
 
+    def log_image(self, iteration: int, tag: str, image) -> None:
+        """(H, W, 3) float [0,1] image to tensorboard (if available)."""
+        if self._tb:
+            import numpy as np
+
+            arr = np.clip(np.asarray(image), 0.0, 1.0).transpose(2, 0, 1)
+            self._tb.add_image(tag, arr, iteration)
+
+    def log_histogram(self, iteration: int, tag: str, values) -> None:
+        if self._tb:
+            import numpy as np
+
+            self._tb.add_histogram(tag, np.asarray(values), iteration)
+
+    def log_scalar(self, iteration: int, tag: str, value: float) -> None:
+        if self._tb:
+            self._tb.add_scalar(tag, value, iteration)
+
     def close(self) -> None:
         self.flush()
         self._jsonl.close()

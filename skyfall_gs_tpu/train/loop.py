@@ -68,6 +68,7 @@ class Trainer:
     depth_predictor: Optional[Callable] = None   # images -> depths (pseudo GT)
     logger: Optional[MetricsLogger] = None
     rng_seed: int = 0
+    gui: Optional[object] = None                 # viz.network_gui.NetworkGUI
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -268,6 +269,9 @@ class Trainer:
             self._update_bin_capacity(state)
 
         for iteration in range(first_iter, iterations + 1):
+            if self.gui is not None:
+                self._poll_gui(state, iteration < iterations)
+
             if cooldown is not None:
                 if cooldown > 0:
                     cooldown -= 1
@@ -344,6 +348,21 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _poll_gui(self, state: TrainState, training_active: bool) -> None:
+        """Service the live viewer (reference train.py:143-156)."""
+        from skyfall_gs_tpu.model.render import render as model_render
+
+        def render_fn(camera, scaling_modifier):
+            out = model_render(state.model, camera, self.bg,
+                               kernel_size=self.model_cfg.kernel_size,
+                               scaling_modifier=scaling_modifier,
+                               testing=True,
+                               backend=self.pipe_cfg.rasterizer_backend)
+            return np.asarray(jnp.clip(out.color, 0.0, 1.0))
+
+        self.gui.poll(render_fn, self.scene.source_path, training_active)
+
+    # ------------------------------------------------------------------
     def _densify(self, state: TrainState) -> TrainState:
         o = self.opt_cfg
         # grow capacity host-side if the free pool is getting thin
@@ -379,20 +398,46 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _report(self, state: TrainState, iteration: int) -> None:
+        """Periodic held-out render-off (reference training_report,
+        train.py:1043-1102): test/train L1+PSNR scalars plus rendered /
+        depth / GT images for the first views, the opacity histogram, and
+        the live point count."""
+        from skyfall_gs_tpu.model.gaussians import get_opacity
+        from skyfall_gs_tpu.viz.colormap import colorize_depth
+
         for name, views in (("test", self.scene.test_views),
                             ("train", self.scene.train_views[:5])):
             if not views:
                 continue
             l1s, psnrs = [], []
-            for v in views[:8]:
+            for i, v in enumerate(views[:8]):
                 out = self._eval_render(state.model, v.camera, self.bg)
                 img = jnp.clip(out.color, 0.0, 1.0)
                 gt = jnp.asarray(v.image)
                 l1s.append(float(jnp.mean(jnp.abs(img - gt))))
                 psnrs.append(float(psnr_fn(img, gt)))
+                if self.logger and i < 5:
+                    self.logger.log_image(
+                        iteration, f"{name}_{v.image_name}/render", img)
+                    depth = np.asarray(out.depth) / np.maximum(
+                        np.asarray(out.alpha), 1e-6)
+                    self.logger.log_image(
+                        iteration, f"{name}_{v.image_name}/depth",
+                        colorize_depth(depth))
+                    if iteration <= self.opt_cfg.densification_interval:
+                        self.logger.log_image(
+                            iteration, f"{name}_{v.image_name}/ground_truth",
+                            gt)
             if self.logger:
                 self.logger.log_eval(iteration, name,
                                      float(np.mean(l1s)), float(np.mean(psnrs)))
+        if self.logger:
+            alive = np.asarray(state.model.aux.alive)
+            opac = np.asarray(get_opacity(state.model.params))[alive]
+            self.logger.log_histogram(iteration, "scene/opacity_histogram",
+                                      opac)
+            self.logger.log_scalar(iteration, "scene/total_points",
+                                   float(alive.sum()))
 
     def save_ply(self, state: TrainState, iteration: int) -> None:
         path = os.path.join(
