@@ -84,6 +84,7 @@ def render(
     backend: str = "tiled",
     with_3d_filter: bool = True,
     bin_capacity: Optional[int] = None,
+    inference: bool = False,
 ) -> RenderOutput:
     """Render one view from the model state."""
     params = state.params
@@ -113,4 +114,5 @@ def render(
         mean2d_abs_dummy=mean2d_abs_dummy,
         backend=backend,
         bin_capacity=bin_capacity,
+        inference=inference,
     )

@@ -76,8 +76,9 @@ def bin_gaussians(
     width: int,
     cap: int,
     chunk: int = 256,
+    align: bool = True,
 ) -> BinnedTiles:
-    """Build the chunk-aligned per-tile entry layout.
+    """Build the (optionally chunk-aligned) per-tile entry layout.
 
     Args:
         mean2d: (N, 2) pixel-space centers.
@@ -87,11 +88,19 @@ def bin_gaussians(
             counted in ``overflow``).
         chunk: alignment granularity — must equal the Pallas kernel's
             per-iteration gaussian chunk.
+        align: when True (training), re-lay entries out so each tile's run
+            starts at a chunk boundary (required by the backward kernel's
+            contiguous gradient writes).  When False (inference), skip the
+            scatter and padding entirely — the forward kernel handles
+            unaligned run starts by over-reading from the previous chunk
+            boundary and masking.
     """
     n = mean2d.shape[0]
     tiles_y, tiles_x = num_tiles(height, width)
     t_total = tiles_y * tiles_x
-    cap_pad = cap + t_total * chunk  # worst-case per-tile alignment padding
+    # Worst-case alignment padding (aligned) / one chunk of over-read slack
+    # at the buffer end (unaligned).
+    cap_pad = cap + (t_total * chunk if align else chunk)
 
     x0, y0, rect_w, count = _tile_rects(mean2d, radius, tiles_y, tiles_x)
 
@@ -137,6 +146,17 @@ def bin_gaussians(
     # Per-tile ranges in the sorted order.
     tile_edges = jnp.searchsorted(tile_s, jnp.arange(t_total + 1, dtype=jnp.int32))
     tile_count = (tile_edges[1:] - tile_edges[:-1]).astype(jnp.int32)
+    overflow = jnp.maximum(total - cap, 0)
+
+    if not align:
+        gather_idx = jnp.pad(gidx_s, (0, chunk), constant_values=n)
+        return BinnedTiles(
+            gather_idx=gather_idx,
+            tile_start=tile_edges[:-1].astype(jnp.int32),
+            tile_count=tile_count,
+            num_entries=total,
+            overflow=overflow,
+        )
 
     # Chunk-aligned re-layout: tile t's run starts at padded_start[t].
     padded_sizes = -(-tile_count // chunk) * chunk
@@ -155,7 +175,6 @@ def bin_gaussians(
         gidx_s, mode="drop"
     )
 
-    overflow = jnp.maximum(total - cap, 0)
     return BinnedTiles(
         gather_idx=gather_idx,
         tile_start=padded_start,

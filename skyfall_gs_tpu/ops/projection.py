@@ -147,9 +147,18 @@ def project_gaussians(
 
     mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    # Opacity-adaptive extent (exact): per pixel the compositor skips
+    # contributions with alpha = op * exp(power) < 1/255, so beyond
+    # sigma * sqrt(2 ln(255 op)) every pixel provably fails the test.  The
+    # classic 3-sigma radius is the op ~= 1 limit; low-opacity splats get a
+    # tighter rect, which cuts duplicated entries without changing output.
+    op_eff = jnp.clip(opacities * compensation, 1e-12, 0.99)
+    log_term = jnp.maximum(2.0 * jnp.log(255.0 * op_eff), 1e-6)
+    sigma_mult = jnp.minimum(jnp.sqrt(log_term), 3.0)
+    radius = jnp.ceil(sigma_mult * jnp.sqrt(lam1))
 
-    visible = (depth > NEAR_CULL_Z) & (det > 0.0)
+    # Splats whose peak alpha is already below 1/255 never composite.
+    visible = (depth > NEAR_CULL_Z) & (det > 0.0) & (op_eff >= 1.0 / 255.0)
     # Cull splats whose 3-sigma extent misses the image entirely.
     width = jnp.float32(camera.width)
     height = jnp.float32(camera.height)

@@ -76,6 +76,7 @@ def rasterize(
     with_normals: bool = True,
     backend: str = "tiled",
     bin_capacity: Optional[int] = None,
+    inference: bool = False,
 ) -> RenderOutput:
     """Render one view.
 
@@ -120,6 +121,7 @@ def rasterize(
             subpixel_offset=subpixel_offset,
             mean2d_abs_dummy=mean2d_abs_dummy,
             cap=bin_capacity,
+            inference=inference,
         )
     else:
         raise ValueError(f"unknown rasterize backend: {backend}")

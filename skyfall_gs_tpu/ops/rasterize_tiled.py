@@ -55,7 +55,7 @@ from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 P = TILE * TILE      # pixels per tile = 256
 NA = 16              # attribute rows per entry
-CHUNK = 256          # gaussian entries per inner iteration
+CHUNK = 128          # gaussian entries per inner iteration
 NCH = 8              # channel rows (7 used + 1 pad)
 
 
@@ -64,6 +64,7 @@ class _Config(NamedTuple):
     tiles_x: int
     cap_pad: int
     interpret: bool
+    aligned: bool = True
 
 
 def _interpret_default() -> bool:
@@ -112,8 +113,13 @@ def _pixel_coords(t, tiles_x, offx_ref, offy_ref):
     return px, py
 
 
-def _chunk_state(buf, px, py, base, cnt):
-    """Forward per-chunk state shared by both kernels."""
+def _chunk_state(buf, px, py, base, lo, hi):
+    """Forward per-chunk state shared by both kernels.
+
+    An entry at lane l of chunk c has run-relative index base + l (base =
+    c * CHUNK - over-read offset); it is live when lo <= idx < hi.  Aligned
+    layouts use lo = 0.
+    """
     mx = buf[8:9, :]
     my = buf[9:10, :]
     ca = buf[10:11, :]
@@ -127,7 +133,7 @@ def _chunk_state(buf, px, py, base, cnt):
     alpha_un = op * expp
     alpha_cl = jnp.minimum(alpha_un, ALPHA_MAX)
     lidx = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
-    use = (lidx < cnt) & (power <= 0.0) & (alpha_cl >= ALPHA_EPS)
+    use = (lidx >= lo) & (lidx < hi) & (power <= 0.0) & (alpha_cl >= ALPHA_EPS)
     alpha = jnp.where(use, alpha_cl, 0.0)
     return alpha, alpha_un, expp, use, dx, dy, ca, cb, cc
 
@@ -147,14 +153,19 @@ def _make_read_dma(attrs_ref, buf_ref, sem_ref, start):
 # Forward kernel
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
+def _fwd_kernel(tiles_x: int, aligned: bool, start_ref, count_ref, attrs_ref,
                 offx_ref, offy_ref, out_ref, tfin_ref, buf, sems):
     t = pl.program_id(0)
     start = start_ref[t]
     cnt = count_ref[t]
-    nchunks = (cnt + CHUNK - 1) // CHUNK
+    if aligned:
+        base, off0 = start, jnp.int32(0)
+    else:
+        base = (start // CHUNK) * CHUNK
+        off0 = start - base
+    nchunks = (off0 + cnt + CHUNK - 1) // CHUNK
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
-    dma = _make_read_dma(attrs_ref, buf, sems, start)
+    dma = _make_read_dma(attrs_ref, buf, sems, base)
 
     @pl.when(nchunks > 0)
     def _():
@@ -174,7 +185,8 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
 
         dma(slot, c).wait()
         chunk = buf[slot]                                    # (16, G)
-        alpha, _, _, _, _, _, _, _, _ = _chunk_state(chunk, px, py, c * CHUNK, cnt)
+        alpha, _, _, _, _, _, _, _, _ = _chunk_state(
+            chunk, px, py, c * CHUNK, off0, off0 + cnt)
         one_minus = 1.0 - alpha
         cum = _cumprod_incl(one_minus)                       # (P, G)
         t_after = t_run * cum                                # t_run (P, 1)
@@ -251,7 +263,7 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
         dma(slot, c).wait()
         chunk = buf[slot]
         alpha, alpha_un, expp, use, dx, dy, ca, cb, cc = _chunk_state(
-            chunk, px, py, c * CHUNK, cnt
+            chunk, px, py, c * CHUNK, jnp.int32(0), cnt
         )
         one_minus = 1.0 - alpha
         cum = _cumprod_incl(one_minus)
@@ -363,7 +375,7 @@ def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg.tiles_x),
+        functools.partial(_fwd_kernel, cfg.tiles_x, cfg.aligned),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_total, NCH, P), jnp.float32),
@@ -462,6 +474,7 @@ def composite_tiled(
     mean2d_abs_dummy: Optional[jnp.ndarray] = None,
     cap: Optional[int] = None,
     interpret: Optional[bool] = None,
+    inference: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-binned differentiable composite.
 
@@ -481,12 +494,15 @@ def composite_tiled(
         cap = default_capacity(n)
     if interpret is None:
         interpret = _interpret_default()
-    cfg = _Config(tiles_y, tiles_x, cap + t_total * CHUNK, interpret)
+    aligned = not inference
+    cfg = _Config(tiles_y, tiles_x,
+                  cap + (t_total * CHUNK if aligned else CHUNK),
+                  interpret, aligned)
 
     binned = bin_gaussians(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(depth),
-        radius, height, width, cap=cap, chunk=CHUNK,
+        radius, height, width, cap=cap, chunk=CHUNK, align=aligned,
     )
     gi = binned.gather_idx
 
@@ -520,10 +536,16 @@ def composite_tiled(
         offx = sp[:, 0:1]
         offy = sp[:, 1:2]
 
-    out, tfin = _make_composite(cfg)(
-        attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
-        offx, offy,
-    )                                                        # (T, 8, P), (T*P, 1)
+    if inference:
+        # Forward-only fast path: no custom VJP, no AbsGS plumbing, no
+        # aligned re-layout (the kernel masks over-read entries).
+        out, tfin = _fwd_call(cfg, attrs_sorted, binned.tile_start,
+                              binned.tile_count, offx, offy)
+    else:
+        out, tfin = _make_composite(cfg)(
+            attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
+            offx, offy,
+        )                                                    # (T, 8, P), (T*P, 1)
 
     img = (
         out.reshape(tiles_y, tiles_x, NCH, TILE, TILE)

@@ -212,6 +212,7 @@ def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled"):
 
     def fn(model: GaussianModelState, camera: Camera, bg):
         return render(model, camera, bg, kernel_size=kernel_size,
-                      testing=True, backend=backend)
+                      testing=True, backend=backend,
+                      inference=(backend == "tiled"))
 
     return jax.jit(fn)

@@ -78,7 +78,8 @@ def render_trajectory(
     def rfn(model, camera):
         out = render(model, camera, bg, kernel_size=kernel_size,
                      testing=True, backend=backend,
-                     with_3d_filter=with_3d_filter)
+                     with_3d_filter=with_3d_filter,
+                     inference=(backend == "tiled"))
         return jnp.clip(out.color, 0.0, 1.0), out.depth, out.alpha
 
     # warm-up/compile on the first camera

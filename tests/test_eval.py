@@ -166,3 +166,36 @@ class TestMMD:
         x = rng.normal(size=(500, 8))
         fd = frechet_distance(x, x)
         assert abs(fd) < 1e-6
+
+
+class TestSatUtils:
+    def test_ecef_roundtrip(self, rng):
+        from skyfall_gs_tpu.eval.sat_utils import ecef_to_latlon, latlon_to_ecef
+
+        lat, lon, alt = 30.35, -81.66, 25.0
+        x, y, z = latlon_to_ecef(lat, lon, alt)
+        la2, lo2, al2 = ecef_to_latlon(x, y, z)
+        assert float(la2) == pytest.approx(lat, abs=1e-7)
+        assert float(lo2) == pytest.approx(lon, abs=1e-7)
+        assert float(al2) == pytest.approx(alt, abs=1e-3)
+
+    def test_rpc_rescale(self):
+        from skyfall_gs_tpu.eval.sat_utils import RPCModel, rescale_rpc, rpc_scaling_params
+
+        rpc = RPCModel(row_scale=100.0, row_offset=50.0,
+                       col_scale=200.0, col_offset=100.0)
+        r2 = rescale_rpc(rpc, 0.5)
+        assert r2.row_scale == 50.0 and r2.col_offset == 50.0
+        assert rpc.row_scale == 100.0  # original untouched
+        s, o = rpc_scaling_params([2.0, 10.0])
+        assert (s, o) == (4.0, 6.0)
+
+    def test_dsm_pointwise_diff(self, rng):
+        import scipy.ndimage as ndi
+        from skyfall_gs_tpu.eval.sat_utils import dsm_pointwise_diff
+
+        gt = ndi.gaussian_filter(rng.normal(0, 5, (120, 120)), 4) + 30
+        pred = np.roll(gt, 3, axis=1) - 2.0
+        reg, err, info = dsm_pointwise_diff(pred, gt)
+        assert info["mae"] < 0.2
+        assert err.shape == gt.shape
