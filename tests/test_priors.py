@@ -106,3 +106,56 @@ class TestMoGeNet:
         imgs = [rng.uniform(size=(40, 30, 3)).astype(np.float32)]
         out = pred.run(imgs)
         assert out[0].shape == (40, 30)
+
+
+class TestTorchConversion:
+    def test_convert_dinov2_style_state_dict(self, rng):
+        """Round-trip a synthetic torch-layout state dict into the ViT."""
+        import torch
+
+        from skyfall_gs_tpu.priors.moge import (
+            ViTConfig,
+            convert_torch_state_dict,
+            moge_depth,
+        )
+
+        cfg = ViTConfig(patch_size=14, width=32, depth=2, heads=4,
+                        img_size=28, out_layers=(0, 1), head_width=16)
+        d, hidden = cfg.width, int(cfg.width * cfg.mlp_ratio)
+        g = torch.Generator().manual_seed(0)
+        sd = {
+            "patch_embed.proj.weight": torch.randn(d, 3, 14, 14, generator=g) * 0.02,
+            "patch_embed.proj.bias": torch.zeros(d),
+            "cls_token": torch.randn(1, 1, d, generator=g) * 0.02,
+            "pos_embed": torch.randn(1, 5, d, generator=g) * 0.02,
+            "norm.weight": torch.ones(d),
+            "norm.bias": torch.zeros(d),
+        }
+        for i in range(cfg.depth):
+            p = f"blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": torch.ones(d),
+                f"{p}.norm1.bias": torch.zeros(d),
+                f"{p}.attn.qkv.weight": torch.randn(3 * d, d, generator=g) * 0.02,
+                f"{p}.attn.qkv.bias": torch.zeros(3 * d),
+                f"{p}.attn.proj.weight": torch.randn(d, d, generator=g) * 0.02,
+                f"{p}.attn.proj.bias": torch.zeros(d),
+                f"{p}.norm2.weight": torch.ones(d),
+                f"{p}.norm2.bias": torch.zeros(d),
+                f"{p}.mlp.fc1.weight": torch.randn(hidden, d, generator=g) * 0.02,
+                f"{p}.mlp.fc1.bias": torch.zeros(hidden),
+                f"{p}.mlp.fc2.weight": torch.randn(d, hidden, generator=g) * 0.02,
+                f"{p}.mlp.fc2.bias": torch.zeros(d),
+                f"{p}.ls1.gamma": torch.ones(d),
+                f"{p}.ls2.gamma": torch.ones(d),
+            })
+        params = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, cfg)
+        img = jnp.asarray(rng.uniform(size=(1, 28, 28, 3)).astype(np.float32))
+        depth = moge_depth(params, img, cfg)
+        assert depth.shape == (1, 28, 28)
+        assert bool(jnp.all(jnp.isfinite(depth)))
+        # converted qkv really is the transpose of the torch layout
+        np.testing.assert_allclose(
+            np.asarray(params["blocks"][0]["qkv"]["w"]),
+            sd["blocks.0.attn.qkv.weight"].numpy().T, atol=1e-7)
