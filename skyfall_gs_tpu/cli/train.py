@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="IDU refine backend (identity|flowedit)")
     parser.add_argument("--depth_model", type=str, default="render",
                         help="monodepth backend (render|moge)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of ~20 steps here")
     parser.add_argument("--gui_ip", type=str, default="127.0.0.1")
     parser.add_argument("--gui_port", type=int, default=0,
                         help="enable the SIBR viewer bridge on this port")
@@ -93,7 +95,7 @@ def main(argv=None) -> None:
 
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene,
                       depth_predictor=depth_pred, rng_seed=args.seed,
-                      gui=gui)
+                      gui=gui, profile_dir=args.profile_dir)
 
     if args.iterative_datasets_update:
         if not args.start_checkpoint:

@@ -69,6 +69,8 @@ class Trainer:
     logger: Optional[MetricsLogger] = None
     rng_seed: int = 0
     gui: Optional[object] = None                 # viz.network_gui.NetworkGUI
+    profile_dir: Optional[str] = None            # jax.profiler trace output
+    profile_steps: int = 20
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -155,6 +157,9 @@ class Trainer:
     def _get_step_fn(self, use_depth: bool, use_pseudo: bool):
         key = (use_depth, use_pseudo, self.bin_capacity)
         if key not in self._step_fns:
+            lpips_fn = None
+            if self.opt_cfg.use_lpips_loss:
+                lpips_fn = self._get_lpips()._jitted
             self._step_fns[key] = make_train_step(
                 self.opt_cfg,
                 kernel_size=self.model_cfg.kernel_size,
@@ -164,8 +169,18 @@ class Trainer:
                 use_depth=use_depth,
                 use_pseudo=use_pseudo,
                 bin_capacity=self.bin_capacity,
+                lpips_fn=lpips_fn,
             )
         return self._step_fns[key]
+
+    def _get_lpips(self):
+        """LPIPS photometric loss backend (reference train.py:80-85) —
+        requires local backbone weights; fails with a clear error otherwise."""
+        if not hasattr(self, "_lpips"):
+            from skyfall_gs_tpu.eval.lpips import lpips_from_local_packages
+
+            self._lpips = lpips_from_local_packages(self.opt_cfg.lpips_net)
+        return self._lpips
 
     def _update_bin_capacity(self, state: TrainState) -> None:
         """Right-size the duplication capacity from the worst view's measured
@@ -267,6 +282,10 @@ class Trainer:
         first_iter = getattr(self, "start_iteration", 0) + 1
         if self.bin_capacity is None:
             self._update_bin_capacity(state)
+        # Device profiling window (reference logs only iter_time,
+        # train.py:115-116; here a real jax.profiler trace).
+        prof_start = first_iter + 20 if self.profile_dir else -1
+        prof_stop = prof_start + self.profile_steps if self.profile_dir else -1
 
         for iteration in range(first_iter, iterations + 1):
             if self.gui is not None:
@@ -332,7 +351,13 @@ class Trainer:
                     aux=state.model.aux.replace(
                         filter_3d=self._compute_filter(state))))
 
-            # ---- logging / eval / snapshots ------------------------------
+            # ---- profiling / logging / eval / snapshots -------------------
+            if iteration == prof_start:
+                jax.profiler.start_trace(self.profile_dir)
+            elif iteration == prof_stop:
+                jax.block_until_ready(state.model.params.xyz)
+                jax.profiler.stop_trace()
+                print(f"wrote profiler trace to {self.profile_dir}", flush=True)
             if self.logger:
                 self.logger.log_step(iteration, metrics, time.time() - t_start)
             if iteration in test_iterations:

@@ -93,6 +93,7 @@ def make_train_step(
     photometric: bool = True,
     testing_render: bool = False,
     bin_capacity: Optional[int] = None,
+    lpips_fn=None,
 ):
     """Build the jitted step for one resolution group.
 
@@ -133,11 +134,20 @@ def make_train_step(
                 gt = resample_with_offset(gt, subpix)
 
             if photometric:
-                photo, ll1 = photometric_loss(
-                    jnp.transpose(image, (2, 0, 1)),
-                    jnp.transpose(gt, (2, 0, 1)),
-                    opt_cfg.lambda_dssim,
-                )
+                if lpips_fn is not None:
+                    # LPIPS-swapped photometric loss (reference
+                    # train.py:218-220): (1-l) L1 + l LPIPS.
+                    ll1 = l1_loss(image, gt)
+                    lp = lpips_fn(image[None] * 2.0 - 1.0,
+                                  gt[None] * 2.0 - 1.0)[0]
+                    photo = ((1.0 - opt_cfg.lambda_dssim) * ll1
+                             + opt_cfg.lambda_dssim * lp)
+                else:
+                    photo, ll1 = photometric_loss(
+                        jnp.transpose(image, (2, 0, 1)),
+                        jnp.transpose(gt, (2, 0, 1)),
+                        opt_cfg.lambda_dssim,
+                    )
                 total = photo
             else:
                 # IDU views without refinement skip the photometric term
