@@ -180,3 +180,55 @@ class TestParallel:
             ts2.model.params.xyz - ts.model.params.xyz))) > 0
         # denom counts both views where visible on both
         assert float(ts2.model.aux.denom.max()) <= 2.0
+
+
+@pytest.mark.slow
+class TestAppearance:
+    def test_train_with_appearance_enabled(self, rng, tmp_path):
+        """Full step + densify with the appearance pytree in the optimizer."""
+        scene = _synthetic_scene(rng, n_views=4)
+        model_cfg = ModelConfig(model_path=str(tmp_path),
+                                appearance_enabled=True,
+                                appearance_n_fourier_freqs=2,
+                                appearance_embedding_dim=8)
+        opt_cfg = OptimizationConfig(
+            iterations=12, densify_from_iter=2, densification_interval=5,
+            densify_until_iter=10, densify_grad_threshold=1e-7,
+            opacity_reset_interval=10 ** 9, lambda_depth=0.0,
+            lambda_opacity=0.01, position_lr_max_steps=12)
+        trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(), scene)
+        state = trainer.init_state()
+        assert state.model.params.appearance_embeddings.shape == (3, 8)
+        emb0 = np.asarray(state.model.params.appearance_embeddings).copy()
+        mlp0 = np.asarray(state.model.params.appearance_mlp["l0"]["w"]).copy()
+        state = trainer.train(state, iterations=12)
+        # appearance parameters actually trained
+        assert np.abs(np.asarray(state.model.params.appearance_embeddings)
+                      - emb0).max() > 0
+        assert np.abs(np.asarray(state.model.params.appearance_mlp["l0"]["w"])
+                      - mlp0).max() > 0
+        # per-gaussian embeddings stayed in sync through densify
+        assert state.model.params.embeddings.shape[0] == \
+            state.model.params.capacity
+
+    def test_render_testing_embedding_rule(self, rng, tmp_path):
+        """Test-time rendering uses the fixed uid min(6, M-1) embedding."""
+        import jax.numpy as jnp
+        from skyfall_gs_tpu.model.render import render
+
+        scene = _synthetic_scene(rng, n_views=4)
+        model_cfg = ModelConfig(model_path=str(tmp_path),
+                                appearance_enabled=True,
+                                appearance_n_fourier_freqs=2,
+                                appearance_embedding_dim=8)
+        trainer = Trainer(model_cfg, OptimizationConfig(), PipelineConfig(),
+                          scene)
+        state = trainer.init_state()
+        cam = scene.train_views[0].camera
+        a = render(state.model, cam, jnp.zeros(3), testing=True,
+                   backend="reference")
+        emb = state.model.params.appearance_embeddings[min(6, 3)]
+        b = render(state.model, cam, jnp.zeros(3), testing=False,
+                   appearance_embedding=emb, backend="reference")
+        np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                                   atol=1e-6)
