@@ -102,6 +102,48 @@ def camera_from_c2w(
     return make_camera(R, T, fov_x, fov_y, width, height, **kwargs)
 
 
+def band_camera(camera: Camera, band: int, num_bands: int) -> Camera:
+    """An exact sub-camera for a horizontal image band.
+
+    Rendering band ``k`` of ``num_bands`` with the returned camera produces
+    exactly rows [k*Hb, (k+1)*Hb) of the full render (same world rays): the
+    band keeps focal lengths, shrinks the vertical FoV, and shifts the
+    principal point so pixel (x, y) maps to global (x, y + k*Hb).  This is
+    the crop primitive behind tile-parallel multi-device rendering.
+
+    Requires H divisible by num_bands (pad the render height otherwise).
+    """
+    h = camera.height
+    if h % num_bands != 0:
+        raise ValueError(f"height {h} not divisible by {num_bands} bands")
+    hb = h // num_bands
+    cy = float(camera.cy)
+    # pixel'_y = pixel_y - band*hb  =>  cy' below (derivation in docstring).
+    cy_new = ((cy + 1.0) * h - 2.0 * band * hb) / hb - 1.0
+    tan_fovy_new = float(camera.tan_fovy) * hb / h
+    fov_y_new = 2.0 * math.atan(tan_fovy_new)
+    fov_x = 2.0 * math.atan(float(camera.tan_fovx))
+    w2c = np.asarray(camera.world_view, np.float64)
+    proj = projection_matrix(camera.znear, camera.zfar, fov_x, fov_y_new,
+                             float(camera.cx), cy_new)
+    return Camera(
+        world_view=jnp.asarray(w2c, jnp.float32),
+        full_proj=jnp.asarray(proj @ w2c, jnp.float32),
+        cam_center=camera.cam_center,
+        tan_fovx=camera.tan_fovx,
+        tan_fovy=jnp.float32(tan_fovy_new),
+        focal_x=camera.focal_x,
+        focal_y=camera.focal_y,
+        cx=camera.cx,
+        cy=jnp.float32(cy_new),
+        uid=camera.uid,
+        znear=camera.znear,
+        zfar=camera.zfar,
+        width=camera.width,
+        height=hb,
+    )
+
+
 def look_at_c2w(eye: Sequence[float], target: Sequence[float],
                 up: Sequence[float] = (0.0, 0.0, 1.0)) -> np.ndarray:
     """Camera-to-world matrix looking from ``eye`` at ``target``.

@@ -73,11 +73,17 @@ def compute_cov2d(
     wv = camera.world_view
     t = means3d @ wv[:3, :3].T + wv[:3, 3]               # (N, 3) view space
     tz = jnp.maximum(t[:, 2], 1e-6)
-    # Clamp the in-plane coordinates to the (expanded) frustum, as EWA does.
-    lim_x = FRUSTUM_CLAMP * camera.tan_fovx
-    lim_y = FRUSTUM_CLAMP * camera.tan_fovy
-    tx = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
-    ty = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
+    # Clamp the in-plane coordinates to the (expanded) view cone, as EWA
+    # does.  The cone is principal-point aware: ndc = x/(z tan) + c covers
+    # [-1, 1], so x/z is visible on tan*(-1-c) .. tan*(1-c) — for c = 0 this
+    # reduces to the classic symmetric +-1.3 tan clamp.
+    m = FRUSTUM_CLAMP
+    lo_x = camera.tan_fovx * (-m - camera.cx)
+    hi_x = camera.tan_fovx * (m - camera.cx)
+    lo_y = camera.tan_fovy * (-m - camera.cy)
+    hi_y = camera.tan_fovy * (m - camera.cy)
+    tx = jnp.clip(t[:, 0] / tz, lo_x, hi_x) * tz
+    ty = jnp.clip(t[:, 1] / tz, lo_y, hi_y) * tz
 
     fx, fy = camera.focal_x, camera.focal_y
     inv_z = 1.0 / tz

@@ -152,6 +152,37 @@ def make_parallel_train_step(
     return jax.jit(sharded)
 
 
+def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
+                              backend: str = "tiled", axis: str = "data"):
+    """Single-frame tile (band) parallelism: the image's horizontal bands are
+    sharded across the mesh; every device keeps the full (replicated)
+    Gaussian state, renders its band through an exact band sub-camera
+    (core.camera.band_camera), and the bands concatenate over ICI.
+
+    Unlike view parallelism this cuts the *latency* of one frame — the
+    interactive-viewer axis.  Gaussian-sharded compositing (splitting the
+    splat state itself) is the remaining planned axis.
+
+    Returned signature: fn(model, band_cameras_B, bg) -> (H, W, 3) image,
+    where band_cameras_B is the stacked pytree of
+    [band_camera(cam, k, B) for k in range(B)].
+    """
+
+    def local(model, cam_b, bg):
+        camera = jax.tree.map(lambda x: x[0], cam_b)
+        out = render(model, camera, bg, kernel_size=kernel_size,
+                     backend=backend, testing=True, inference=True)
+        return out.color  # (Hb, W, 3); bands concatenate along rows
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
                          backend: str = "tiled", axis: str = "data"):
     """Batched view-parallel rendering: B cameras -> B images across the mesh.

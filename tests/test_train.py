@@ -232,3 +232,57 @@ class TestAppearance:
                    appearance_embedding=emb, backend="reference")
         np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
                                    atol=1e-6)
+
+
+class TestTileParallel:
+    def test_band_camera_exactness(self, rng):
+        """Band sub-cameras reproduce the full render's rows exactly."""
+        from skyfall_gs_tpu.core.camera import band_camera
+        from skyfall_gs_tpu.ops.rasterize import rasterize
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_random_splats, make_test_camera
+
+        d = make_random_splats(rng, 60)
+        args = (d["means3d"], d["scales"], d["quats"], d["opacities"],
+                d["colors"])
+        cam = make_test_camera(32, 64)  # H=64, W=32
+        full = rasterize(*args, cam, bg=jnp.zeros(3), backend="reference")
+        for k in range(4):
+            bc = band_camera(cam, k, 4)
+            band = rasterize(*args, bc, bg=jnp.zeros(3), backend="reference")
+            # Exact up to EWA frustum-clamp differences for splats far
+            # outside the band's own (narrow) view cone.
+            diff = np.abs(np.asarray(band.color)
+                          - np.asarray(full.color[k * 16:(k + 1) * 16]))
+            assert diff.max() < 6e-2
+            assert diff.mean() < 5e-3
+
+    def test_tile_parallel_render_matches_single(self, rng):
+        from skyfall_gs_tpu.core.camera import band_camera
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.model.render import render as model_render
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+        from skyfall_gs_tpu.parallel.sharding import make_tile_parallel_render
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_test_camera
+
+        if len(jax.devices("cpu")) < 4:
+            pytest.skip("needs >= 4 cpu devices")
+        pts = rng.normal(0, 0.8, (50, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+        st = create_from_points(pts, cols, capacity=64)
+        st = st.replace(aux=st.aux.replace(filter_3d=jnp.full(64, 0.05)))
+        cam = make_test_camera(32, 64)
+        bg = jnp.zeros(3)
+        full = model_render(st, cam, bg, testing=True, backend="tiled",
+                            inference=True)
+        mesh = make_mesh(4)
+        fn = make_tile_parallel_render(mesh)
+        bands = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[band_camera(cam, k, 4) for k in range(4)])
+        img = fn(st, bands, bg)
+        assert img.shape == (64, 32, 3)
+        assert float(jnp.max(jnp.abs(img - full.color))) < 6e-2
+        assert float(jnp.mean(jnp.abs(img - full.color))) < 5e-3
