@@ -85,6 +85,7 @@ def render(
     with_3d_filter: bool = True,
     bin_capacity: Optional[int] = None,
     inference: bool = False,
+    with_normals: bool = True,
 ) -> RenderOutput:
     """Render one view from the model state."""
     params = state.params
@@ -115,4 +116,5 @@ def render(
         backend=backend,
         bin_capacity=bin_capacity,
         inference=inference,
+        with_normals=with_normals,
     )

@@ -127,6 +127,9 @@ def make_train_step(
                 mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
                 backend=backend, testing=testing_render,
                 bin_capacity=bin_capacity,
+                # the normal channel is not part of any training loss
+                # (parity: rendered_norm is unused in reference train.py)
+                with_normals=False,
             )
             image = out.color * gt_mask[..., None]
             gt = gt_image * gt_mask[..., None]
