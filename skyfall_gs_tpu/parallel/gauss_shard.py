@@ -1,0 +1,261 @@
+"""Gaussian-sharded training: split the splat state itself across devices.
+
+The scaling axis the reference cannot offer (SURVEY.md §2.4/§7 hard part #4):
+densification grows the per-scene Gaussian count without bound, and a single
+chip's HBM caps it.  Here the padded state pytree — parameters, Adam moments,
+densification statistics — lives sharded along the splat dimension over the
+``gauss`` mesh axis; each device holds capacity/B splats.
+
+Exact ordered alpha compositing across shards is the hard part: per-pixel
+blending must be globally depth sorted, but shards are arbitrary subsets.
+The trick: re-partition **by global view-depth quantile bins** per step.
+If device k composites exactly the splats in depth bin k (bin edges =
+global quantiles of visible view depth), then for every pixel all of bin k's
+contributions precede bin k+1's, so the per-device partial images merge
+exactly with the over operator:
+
+    C = C_0 + T_0 C_1 + T_0 T_1 C_2 + ...,   T = prod_k T_k
+
+No fragment exchange is needed — only:
+  * one ``all_gather`` of the 13-float projected screen attributes
+    (means2d, conic, opacity, depth, channels) — the raw 60+-float state and
+    the 3x optimizer state stay sharded;
+  * a tiny all-gather of the B partial images for the merge scan.
+
+Gradients flow back through the all_gather as a reduce-scatter under
+``shard_map`` autodiff, landing on the owning shard.  Binning runs
+replicated over the full entry set (its cost is small vs compositing);
+each device's compositor only processes its bin's entries (other bins are
+radius-culled before duplication).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from skyfall_gs_tpu.model.densify import add_densification_stats
+from skyfall_gs_tpu.model.gaussians import get_opacity
+from skyfall_gs_tpu.model.optim import (
+    adam_update,
+    make_lr_tree,
+    make_weight_decay_tree,
+)
+from skyfall_gs_tpu.ops.losses import (
+    depth_pearson_loss,
+    opacity_entropy_loss,
+    photometric_loss,
+    psnr,
+)
+from skyfall_gs_tpu.ops.projection import project_gaussians
+from skyfall_gs_tpu.ops.rasterize_tiled import composite_tiled
+from skyfall_gs_tpu.core.sh import eval_sh
+from skyfall_gs_tpu.train.step import StepMetrics, TrainState
+
+
+def _depth_bin_edges(depth, visible, num_bins):
+    """Global view-depth quantile edges (computed identically per device
+    from the gathered depths)."""
+    d = jnp.where(visible, depth, jnp.nan)
+    qs = jnp.linspace(0.0, 1.0, num_bins + 1)[1:-1]
+    inner = jnp.nanquantile(d, qs)
+    return jnp.concatenate([jnp.asarray([-jnp.inf]), inner,
+                            jnp.asarray([jnp.inf])])
+
+
+def sharded_render_merge(
+    xyz, scales, quats, opac, colors, alive, camera, bg,
+    kernel_size: float, axis: str, num_bins: int,
+    mean2d_dummy=None, mean2d_abs_dummy=None, bin_capacity=None,
+):
+    """Render inside shard_map: per-shard projection, all-gathered screen
+    attrs, depth-binned per-device composite, exact over-merge.
+
+    All per-splat inputs are the LOCAL shard (capacity/B rows).  Returns
+    (color (H,W,3), depth, alpha, radii_local) where radii_local covers the
+    local shard (for densification stats).
+    """
+    k = jax.lax.axis_index(axis)
+
+    proj = project_gaussians(xyz, scales, quats, opac, camera,
+                             kernel_size=kernel_size, mask=alive)
+    mean2d = proj.mean2d
+    if mean2d_dummy is not None:
+        mean2d = mean2d + mean2d_dummy
+
+    channels = jnp.concatenate(
+        [colors, proj.depth[:, None], jnp.zeros_like(xyz)], axis=-1)
+
+    local13 = jnp.concatenate(
+        [mean2d, proj.conic, proj.opacity[:, None], proj.depth[:, None],
+         channels], axis=1)                       # (n_loc, 2+3+1+1+7 = 14)
+    gath = jax.lax.all_gather(local13, axis)      # (B, n_loc, 14)
+    b = gath.shape[0]
+    full = gath.reshape(b * gath.shape[1], gath.shape[2])
+    g_mean2d = full[:, 0:2]
+    g_conic = full[:, 2:5]
+    g_opac = full[:, 5]
+    g_depth = full[:, 6]
+    g_channels = full[:, 7:14]
+
+    radii_all = jax.lax.all_gather(proj.radius, axis).reshape(-1)
+    visible = radii_all > 0
+
+    edges = _depth_bin_edges(g_depth, visible, num_bins)
+    lo = edges[k]
+    hi = edges[k + 1]
+    in_bin = (g_depth >= lo) & (g_depth < hi)
+    radii_bin = jnp.where(in_bin, radii_all, 0)
+
+    absd = None
+    if mean2d_abs_dummy is not None:
+        absd = jax.lax.all_gather(mean2d_abs_dummy, axis).reshape(-1, 2)
+
+    out_k, tfin_k = composite_tiled(
+        g_mean2d, g_conic, g_depth, radii_bin, g_opac, g_channels,
+        camera.height, camera.width,
+        mean2d_abs_dummy=absd, cap=bin_capacity,
+    )                                              # (H, W, 7), (H, W)
+
+    # Exact depth-ordered merge across bins.
+    outs = jax.lax.all_gather(out_k, axis)         # (B, H, W, 7)
+    tfins = jax.lax.all_gather(tfin_k, axis)       # (B, H, W)
+
+    def merge(carry, xs):
+        acc, t_run = carry
+        o, tf = xs
+        return (acc + t_run[..., None] * o, t_run * tf), None
+
+    (acc, t_all), _ = jax.lax.scan(
+        merge,
+        (jnp.zeros_like(outs[0]), jnp.ones_like(tfins[0])),
+        (outs, tfins),
+    )
+    color = acc[..., :3] + t_all[..., None] * bg[None, None, :]
+    return color, acc[..., 3], 1.0 - t_all, proj.radius
+
+
+def make_gauss_sharded_train_step(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    kernel_size: float = 0.1,
+    use_depth: bool = True,
+    axis: str = "gauss",
+    bin_capacity=None,
+):
+    """Build the jitted splat-sharded train step.
+
+    The TrainState's per-splat leaves must be sharded along ``axis`` (use
+    :func:`shard_train_state`); camera/images are replicated.  Appearance
+    tables/MLP are not splat-indexed — appearance-enabled states are not
+    supported on this axis yet.
+
+    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
+    lambda_opacity) -> (state, StepMetrics).
+    """
+    if template_state.model.params.appearance_embeddings is not None:
+        raise NotImplementedError(
+            "gaussian-sharded training does not support the appearance "
+            "model yet (camera-indexed tables are not splat-sharded)")
+    num_bins = mesh.shape[axis]
+
+    def local_step(state: TrainState, camera, gt_image, gt_mask, gt_depth,
+                   bg, xyz_lr, lambda_opacity):
+        model = state.model
+        n_loc = model.params.xyz.shape[0]
+        dummies0 = (jnp.zeros((n_loc, 2)), jnp.zeros((n_loc, 2)))
+
+        def loss_fn(params, dummies):
+            from skyfall_gs_tpu.model.gaussians import (
+                opacity_with_3d_filter,
+                scaling_with_3d_filter,
+            )
+
+            scales = scaling_with_3d_filter(params, model.aux.filter_3d)
+            opac = opacity_with_3d_filter(params, model.aux.filter_3d)
+            dirs = params.xyz - camera.cam_center[None, :]
+            dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+            colors = jnp.maximum(
+                eval_sh(model.active_sh_degree,
+                        jnp.swapaxes(params.features, 1, 2), dirs) + 0.5, 0.0)
+
+            color, depth_img, alpha, radii = sharded_render_merge(
+                params.xyz, scales, params.rotation, opac, colors,
+                model.aux.alive, camera, bg, kernel_size, axis, num_bins,
+                mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
+                bin_capacity=bin_capacity,
+            )
+            image = color * gt_mask[..., None]
+            gt = gt_image * gt_mask[..., None]
+            photo, ll1 = photometric_loss(
+                jnp.transpose(image, (2, 0, 1)),
+                jnp.transpose(gt, (2, 0, 1)), opt_cfg.lambda_dssim)
+            total = photo
+            d_loss = jnp.zeros(())
+            if use_depth and opt_cfg.lambda_depth > 0:
+                d_loss = depth_pearson_loss(gt_depth * gt_mask,
+                                            depth_img * gt_mask)
+                total = total + opt_cfg.lambda_depth * d_loss
+            # entropy over the full (sharded) set: mean of per-shard sums
+            ent_sum = jax.lax.psum(
+                opacity_entropy_loss(get_opacity(params), model.aux.alive)
+                * jnp.maximum(jnp.sum(model.aux.alive), 1), axis)
+            n_all = jax.lax.psum(jnp.sum(model.aux.alive), axis)
+            o_loss = ent_sum / jnp.maximum(n_all, 1)
+            total = total + lambda_opacity * o_loss
+            return total, {"l1": ll1, "depth_loss": d_loss,
+                           "opacity_loss": o_loss, "radii": radii,
+                           "psnr": psnr(image, gt)}
+
+        (loss, aux_out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
+        gparams, gdummies = grads
+
+        new_aux = add_densification_stats(
+            model.aux, gdummies[0], gdummies[1], aux_out["radii"],
+            camera.width, camera.height)
+
+        lr_tree = make_lr_tree(model.params, opt_cfg, xyz_lr)
+        wd_tree = make_weight_decay_tree(model.params, opt_cfg)
+        new_params, new_opt = adam_update(
+            gparams, state.opt, model.params, lr_tree,
+            weight_decay_tree=wd_tree)
+
+        new_state = TrainState(
+            model=model.replace(params=new_params, aux=new_aux),
+            opt=new_opt, step=state.step + 1)
+        metrics = StepMetrics(
+            loss=loss, l1=aux_out["l1"], depth_loss=aux_out["depth_loss"],
+            opacity_loss=aux_out["opacity_loss"], psnr=aux_out["psnr"],
+            n_alive=jax.lax.psum(jnp.sum(new_aux.alive), axis),
+        )
+        return new_state, metrics
+
+    # Per-splat leaves (ndim >= 1, splat dim leading) shard on the axis;
+    # 0-D leaves (step, Adam count) replicate.
+    state_spec = jax.tree.map(
+        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(),
+        template_state)
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
+    """Device-put a TrainState with per-splat leaves sharded along axis."""
+    from jax.sharding import NamedSharding
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, state)

@@ -286,3 +286,108 @@ class TestTileParallel:
         assert img.shape == (64, 32, 3)
         assert float(jnp.max(jnp.abs(img - full.color))) < 6e-2
         assert float(jnp.mean(jnp.abs(img - full.color))) < 5e-3
+
+
+class TestGaussianSharded:
+    def test_matches_single_device_step(self, rng, tmp_path):
+        """Splat-sharded step == single-device step (up to the 1e-4
+        transmittance early-stop boundary, which bins evaluate locally)."""
+        from jax.sharding import Mesh
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.parallel.gauss_shard import (
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+        from skyfall_gs_tpu.train.step import init_train_state, make_train_step
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_test_camera
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 cpu devices")
+        mesh = Mesh(np.array(devs[:4]), ("gauss",))
+
+        pts = rng.normal(0, 0.8, (48, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (48, 3)).astype(np.float32)
+        st = create_from_points(pts, cols, capacity=64)
+        st = st.replace(active_sh_degree=1,
+                        aux=st.aux.replace(filter_3d=jnp.full(64, 0.05)))
+        ts = init_train_state(st)
+
+        cam = make_test_camera(32, 32)
+        gt = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+        mask = jnp.ones((32, 32))
+        depth = jnp.asarray(rng.uniform(1, 5, (32, 32)), jnp.float32)
+        bg = jnp.zeros(3)
+        from skyfall_gs_tpu.config import OptimizationConfig
+
+        cfg = OptimizationConfig()
+        # single device (normals off to match the sharded channel layout)
+        step1 = make_train_step(cfg, use_depth=True)
+        ts1, m1 = step1(ts, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        stepN = make_gauss_sharded_train_step(mesh, cfg, ts, use_depth=True)
+        tsS = shard_train_state(ts, mesh, "gauss")
+        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg,
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        assert float(abs(mN.loss - m1.loss)) < 2e-3
+        # Step-1 Adam updates are sign(g) * lr, so compare signs: they must
+        # agree wherever the single-device gradient is not tiny (grad-level
+        # differences at the 1e-4 transmittance early-stop boundary flip a
+        # few epsilon-gradients).
+        u1 = np.asarray(ts1.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        uN = np.asarray(tsN.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        active = np.abs(u1) > 0
+        agree = np.sign(u1[active]) == np.sign(uN[active])
+        assert agree.mean() > 0.9
+        # densification stats land on the owning shards
+        assert float(jnp.sum(tsN.model.aux.denom)) > 0
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(tsN.model.aux.denom)),
+            np.asarray(jnp.sum(ts1.model.aux.denom)), rtol=0.1)
+        # and the rendered images themselves agree tightly
+        from skyfall_gs_tpu.parallel.gauss_shard import sharded_render_merge
+        from skyfall_gs_tpu.model.render import render as model_render
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+        from skyfall_gs_tpu.model.gaussians import (
+            get_opacity, get_scaling)
+
+        def local(xyz, scales, quats, opac, colors, alive):
+            c, d, a, r = sharded_render_merge(
+                xyz, scales, quats, opac, colors, alive, cam, bg,
+                0.1, "gauss", 4)
+            return c
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(PS("gauss"),) * 6, out_specs=PS(),
+                       check_vma=False)
+        p0 = ts.model.params
+        colors = jnp.full((64, 3), 0.5)
+        img_sharded = fn(p0.xyz, get_scaling(p0), p0.rotation,
+                         get_opacity(p0), colors, ts.model.aux.alive)
+        single = model_render(ts.model, cam, bg, with_3d_filter=False,
+                              override_color=colors, with_normals=False)
+        assert float(jnp.max(jnp.abs(img_sharded - single.color))) < 5e-3
+
+    def test_sharded_memory_layout(self, rng):
+        from jax.sharding import Mesh
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.parallel.gauss_shard import shard_train_state
+        from skyfall_gs_tpu.train.step import init_train_state
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 cpu devices")
+        mesh = Mesh(np.array(devs[:4]), ("gauss",))
+        pts = rng.normal(0, 1, (30, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (30, 3)).astype(np.float32)
+        ts = init_train_state(create_from_points(pts, cols, capacity=64))
+        tsS = shard_train_state(ts, mesh, "gauss")
+        # each device holds a quarter of the splat rows
+        shard = tsS.model.params.xyz.addressable_shards[0]
+        assert shard.data.shape == (16, 3)
+        assert tsS.opt.mu.xyz.addressable_shards[0].data.shape == (16, 3)
