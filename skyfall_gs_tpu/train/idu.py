@@ -172,18 +172,33 @@ class IDUOrchestrator:
             max_steps=o.idu_position_lr_max_steps,
         )
 
-        idu_step = make_train_step(
-            o, kernel_size=cfg.kernel_size,
-            backend=t.pipe_cfg.rasterizer_backend,
-            ray_jitter=cfg.ray_jitter, resample_gt=cfg.resample_gt_image,
-            use_depth=o.lambda_depth > 0,
-            photometric=o.idu_refine,
-            testing_render=not o.idu_random_ap,
-        )
+        step_cache = {}
+
+        def idu_step_fn(use_pseudo: bool):
+            key = use_pseudo
+            if key not in step_cache:
+                step_cache[key] = make_train_step(
+                    o, kernel_size=cfg.kernel_size,
+                    backend=t.pipe_cfg.rasterizer_backend,
+                    ray_jitter=cfg.ray_jitter,
+                    resample_gt=cfg.resample_gt_image,
+                    use_depth=o.lambda_depth > 0,
+                    use_pseudo=use_pseudo,
+                    photometric=o.idu_refine,
+                    testing_render=not o.idu_random_ap,
+                )
+            return step_cache[key]
+
+        def episode_pseudo_curriculum(iteration: int):
+            # reference train.py:801-808: elevation 85->45 across the
+            # episode (radius schedule follows the pseudo-cam bounds).
+            frac = (end_iter - iteration) / max(o.idu_episode_iterations, 1)
+            return frac * (85.0 - 45.0) + 45.0, frac * (150.0 - 75.0) + 75.0
 
         lambda_opacity = o.lambda_opacity
         cooldown: Optional[int] = None
         idu_indices: List[int] = []
+        pseudo_stack: List = []
 
         for iteration in range(first_iter + 1, end_iter + 1):
             if cooldown is not None:
@@ -200,21 +215,38 @@ class IDUOrchestrator:
             t.rng, krng = jax.random.split(t.rng)
             xyz_lr = jnp.float32(xyz_sched(iteration - first_iter))
 
+            # in-episode pseudo-view monodepth supervision (train.py:801-832)
+            pseudo_args = ()
+            use_pseudo = (
+                o.lambda_pseudo_depth > 0
+                and self.depth_predictor is not None
+                and iteration % o.sample_pseudo_interval == 0
+            )
+            if use_pseudo:
+                if not pseudo_stack:
+                    ele, rad = episode_pseudo_curriculum(iteration)
+                    pseudo_stack = t._gen_pseudo_stack_at(ele, rad)
+                pcam = pseudo_stack.pop(t.py_rng.randrange(len(pseudo_stack)))
+                pout = t._eval_render(state.model, pcam, t.bg)
+                pdepth = self.depth_predictor(
+                    np.asarray(jnp.clip(pout.color, 0, 1)))
+                pseudo_args = (pcam, jnp.asarray(pdepth), jnp.float32(1.0))
+
             if use_idu:
                 if not idu_indices:
                     idu_indices = list(range(idu_group.size))
                 i = idu_indices.pop(t.py_rng.randrange(len(idu_indices)))
                 cam, image, mask, depth = idu_group.select(i)
-                state, metrics = idu_step(
+                state, metrics = idu_step_fn(use_pseudo)(
                     state, cam, image, mask, depth, t.bg, krng,
-                    xyz_lr, jnp.float32(lambda_opacity))
+                    xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
             else:
                 g, i = t._pick_view()
                 cam, image, mask, depth = g.select(i)
-                step_fn = t._get_step_fn(False, False)  # photometric only
+                step_fn = t._get_step_fn(False, use_pseudo)  # photometric only
                 state, metrics = step_fn(
                     state, cam, image, mask, depth, t.bg, krng,
-                    xyz_lr, jnp.float32(lambda_opacity))
+                    xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
 
             # densification / opacity reset
             if iteration < densify_until:

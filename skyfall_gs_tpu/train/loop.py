@@ -239,8 +239,11 @@ class Trainer:
         return elevation, radius
 
     def _gen_pseudo_stack(self, iteration: int) -> List:
-        o = self.opt_cfg
         elevation, radius = self._pseudo_curriculum(iteration)
+        return self._gen_pseudo_stack_at(elevation, radius)
+
+    def _gen_pseudo_stack_at(self, elevation: float, radius: float) -> List:
+        o = self.opt_cfg
         cams = []
         n_rings = max(o.num_pseudo_cams // 8, 1)
         for _ in range(n_rings):

@@ -391,3 +391,60 @@ class TestGaussianSharded:
         shard = tsS.model.params.xyz.addressable_shards[0]
         assert shard.data.shape == (16, 3)
         assert tsS.opt.mu.xyz.addressable_shards[0].data.shape == (16, 3)
+
+
+@pytest.mark.slow
+class TestPseudoDepth:
+    def test_stage1_pseudo_supervision_path(self, rng, tmp_path):
+        """Pseudo-view monodepth supervision runs through the jitted step."""
+        from skyfall_gs_tpu.priors import RenderDepthPredictor
+
+        trainer = _make_trainer(
+            rng, tmp_path,
+            lambda_pseudo_depth=0.5, sample_pseudo_interval=3,
+            start_sample_pseudo=2, end_sample_pseudo=1000,
+            num_pseudo_cams=8, target_std=0.5)
+        trainer.depth_predictor = RenderDepthPredictor()
+        # pseudo cams render at 512x512 by default — shrink for the test
+        orig = trainer._gen_pseudo_stack_at
+
+        def small_stack(ele, rad):
+            from skyfall_gs_tpu.core.camera import orbit_cameras
+
+            return orbit_cameras([0, 0, 0], ele, 3.0, num_cams=4,
+                                 width=32, height=32, fov_deg=60.0,
+                                 uids=[0] * 4)
+        trainer._gen_pseudo_stack_at = small_stack
+        trainer._pseudo_curriculum = lambda it: (60.0, 3.0)
+        trainer._gen_pseudo_stack = lambda it: small_stack(60.0, 3.0)
+        state = trainer.init_state()
+        state = trainer.train(state, iterations=9)
+        assert int(state.step) == 9
+
+    def test_idu_episode_with_pseudo(self, rng, tmp_path):
+        from skyfall_gs_tpu.priors import IdentityRefiner, RenderDepthPredictor
+        from skyfall_gs_tpu.train.idu import IDUOrchestrator
+
+        trainer = _make_trainer(
+            rng, tmp_path,
+            idu_episode_iterations=6, idu_densify_until_iter=3,
+            idu_opacity_reset_interval=10 ** 9, idu_testing_interval=6,
+            idu_num_cams=2, idu_num_samples_per_view=1,
+            idu_render_size=32, idu_train_ratio=0.5,
+            densify_from_iter=10 ** 9, lambda_depth=0.5,
+            lambda_pseudo_depth=0.5, sample_pseudo_interval=2,
+            idu_refine=False)
+
+        def small_stack(ele, rad):
+            from skyfall_gs_tpu.core.camera import orbit_cameras
+
+            return orbit_cameras([0, 0, 0], ele, 3.0, num_cams=4,
+                                 width=32, height=32, fov_deg=60.0,
+                                 uids=[0] * 4)
+        trainer._gen_pseudo_stack_at = small_stack
+        state = trainer.init_state()
+        orch = IDUOrchestrator(trainer=trainer, refiner=IdentityRefiner(),
+                               depth_predictor=RenderDepthPredictor())
+        state2 = orch.train_episode(state, 0, [[0.0, 0.0, 0.0]],
+                                    60.0, 3.0, 60.0)
+        assert int(state2.step) == 6
