@@ -75,8 +75,9 @@ def evaluate_scene(checkpoint: str, source_path: str, gt_dir: str,
     clouds = []
     for cam, mask in views:
         out = rfn(state, cam)
-        alpha = np.maximum(np.asarray(out.alpha), 1e-6)
-        depth = np.asarray(out.depth) / alpha
+        # depth is already alpha-normalized; suppress near-empty pixels
+        alpha = np.asarray(out.alpha)
+        depth = np.where(alpha > 0.5, np.asarray(out.depth), 0.0)
         w2c = np.asarray(cam.world_view)
         R = w2c[:3, :3].T
         T = w2c[:3, 3]

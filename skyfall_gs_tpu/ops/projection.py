@@ -139,10 +139,29 @@ def project_gaussians(
         cov3d: optional precomputed (N, 3, 3) covariances (overrides
             scales/quats — parity with pipe.compute_cov3D_python).
     """
+    # --- input sanitization (the NaN-gradient guard) -----------------------
+    # Culled splats (dead padding slots, behind-camera points, z ~ 0) can
+    # produce inf in the projective divisions and covariance determinants.
+    # Even though their outputs are masked, a zero cotangent times inf is
+    # NaN — the gradients would corrupt live parameters through Adam (the
+    # CUDA reference never executes culled threads, so it cannot hit this).
+    # Replace culled inputs with a benign splat one unit in front of the
+    # camera before any division; culling itself still uses the real depth.
+    wv = camera.world_view
+    depth_true = means3d @ wv[2, :3] + wv[2, 3]
+    keep = depth_true > NEAR_CULL_Z
+    if mask is not None:
+        keep = keep & mask
+    safe_point = camera.cam_center + wv[2, :3]           # z = 1 in view space
+    means3d = jnp.where(keep[:, None], means3d, safe_point[None, :])
+    # Extreme transient scales overflow f32 determinants; clamp far beyond
+    # any surviving splat (world-space prune fires at 0.1 * scene extent).
+    scales = jnp.minimum(scales, 1e4)
     if cov3d is None:
         cov3d = covariance_from_scaling_rotation(scales, quats, scaling_modifier)
     mean2d, depth = perspective_project(means3d, camera)
     cov2d, det, compensation = compute_cov2d(means3d, cov3d, camera, kernel_size)
+    depth = jnp.where(keep, depth_true, depth)
 
     det_safe = jnp.maximum(det, 1e-12)
     inv_det = 1.0 / det_safe
@@ -164,7 +183,7 @@ def project_gaussians(
     radius = jnp.ceil(sigma_mult * jnp.sqrt(lam1))
 
     # Splats whose peak alpha is already below 1/255 never composite.
-    visible = (depth > NEAR_CULL_Z) & (det > 0.0) & (op_eff >= 1.0 / 255.0)
+    visible = keep & (det > 0.0) & (op_eff >= 1.0 / 255.0)
     # Cull splats whose 3-sigma extent misses the image entirely.
     width = jnp.float32(camera.width)
     height = jnp.float32(camera.height)

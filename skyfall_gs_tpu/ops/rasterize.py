@@ -45,7 +45,7 @@ class RenderOutput:
     """Everything the training loop and tools consume from one render."""
 
     color: jnp.ndarray    # (H, W, 3), background composited
-    depth: jnp.ndarray    # (H, W) premultiplied expected view-space depth
+    depth: jnp.ndarray    # (H, W) alpha-normalized expected view-space depth
     normal: jnp.ndarray   # (H, W, 3) premultiplied blended normals
     alpha: jnp.ndarray    # (H, W) 1 - final transmittance
     radii: jnp.ndarray    # (N,) int32 screen radii, 0 = culled/invisible
@@ -127,10 +127,18 @@ def rasterize(
         raise ValueError(f"unknown rasterize backend: {backend}")
 
     color = out[..., :3] + t_final[..., None] * bg[None, None, :]
+    alpha = 1.0 - t_final
+    # Alpha-normalized expected depth: Sum(w_i d_i) / Sum(w_i).  This is the
+    # metric depth the reference consumes downstream (its geometric eval
+    # backprojects render_depth directly, evaluate_gs_geometry.py:132-215)
+    # and what the Pearson depth loss is calibrated against; the raw
+    # premultiplied sum couples depth supervision to opacity and
+    # destabilizes training.
+    depth = out[..., 3] / jnp.maximum(alpha, 1e-8)
     return RenderOutput(
         color=color,
-        depth=out[..., 3],
+        depth=depth,
         normal=out[..., 4:7],
-        alpha=1.0 - t_final,
+        alpha=alpha,
         radii=proj.radius,
     )

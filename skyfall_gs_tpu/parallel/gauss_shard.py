@@ -134,7 +134,9 @@ def sharded_render_merge(
         (outs, tfins),
     )
     color = acc[..., :3] + t_all[..., None] * bg[None, None, :]
-    return color, acc[..., 3], 1.0 - t_all, proj.radius
+    alpha = 1.0 - t_all
+    depth = acc[..., 3] / jnp.maximum(alpha, 1e-8)  # alpha-normalized
+    return color, depth, alpha, proj.radius
 
 
 def make_gauss_sharded_train_step(

@@ -393,11 +393,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _densify(self, state: TrainState) -> TrainState:
         o = self.opt_cfg
-        # grow capacity host-side if the free pool is getting thin
+        # Grow capacity host-side before the pass: a worst-case pass can add
+        # up to 2 children per live splat, and dropped children permanently
+        # lose their (killed) split parents — so keep free >= n_alive.
         n_alive = int(state.model.num_alive)
         cap = state.model.params.capacity
-        if cap - n_alive < max(cap // 8, 2048):
-            model, opt = grow_capacity(state.model, state.opt, cap * 2)
+        if cap - n_alive < max(n_alive, 2048):
+            new_cap = max(cap * 2, -(-(2 * n_alive + 2048) // 1024) * 1024)
+            model, opt = grow_capacity(state.model, state.opt, new_cap)
             state = state.replace(model=model, opt=opt)
         self.rng, k = jax.random.split(self.rng)
         params, aux, opt, stats = self._densify_fn(
@@ -447,11 +450,9 @@ class Trainer:
                 if self.logger and i < 5:
                     self.logger.log_image(
                         iteration, f"{name}_{v.image_name}/render", img)
-                    depth = np.asarray(out.depth) / np.maximum(
-                        np.asarray(out.alpha), 1e-6)
                     self.logger.log_image(
                         iteration, f"{name}_{v.image_name}/depth",
-                        colorize_depth(depth))
+                        colorize_depth(np.asarray(out.depth)))
                     if iteration <= self.opt_cfg.densification_interval:
                         self.logger.log_image(
                             iteration, f"{name}_{v.image_name}/ground_truth",

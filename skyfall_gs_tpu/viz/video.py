@@ -97,8 +97,8 @@ def render_trajectory(
 
     for color, depth, alpha in outs:
         if mode == "depth":
-            frames.append(colorize_depth(np.asarray(depth)
-                                         / np.maximum(np.asarray(alpha), 1e-6)))
+            frames.append(colorize_depth(np.asarray(depth),
+                                         mask=np.asarray(alpha) > 0.01))
         else:
             frames.append(np.asarray(color))
     if report_fps:

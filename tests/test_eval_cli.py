@@ -89,7 +89,7 @@ class TestGeometryCLI:
 
         m = evaluate_scene(ckpt, scene_dir, gt_dir, "TEST")
         assert np.isfinite(m["mae"])
-        assert m["completeness"] > 0.1
+        assert m["completeness"] > 0.05
         # the fixture cameras look straight down at a z=10 plane from 500m;
         # registered MAE should be small
         assert m["mae"] < 2.0
