@@ -231,3 +231,48 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(back.opt.mu.xyz),
                                    np.asarray(st.opt.mu.xyz))
         assert int(back.step) == 123
+
+
+def _make_multiscale_fixture(root, rng, size=32):
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    meta = {"train": {"file_path": [], "cam2world": [], "focal": []},
+            "test": {"file_path": [], "cam2world": [], "focal": []}}
+    for split, n in (("train", 3), ("test", 2)):
+        for i in range(n):
+            for d, div in ((0, 1), (1, 2)):
+                name = f"{split}_{i}_d{d}.png"
+                s = size // div
+                img = rng.uniform(0, 255, (s, s, 4)).astype(np.uint8)
+                Image.fromarray(img, "RGBA").save(os.path.join(root, name))
+                c2w = np.eye(4)
+                c2w[:3, 3] = [3.0 + i, 0.0, 1.0]
+                meta[split]["file_path"].append(name)
+                meta[split]["cam2world"].append(c2w.tolist())
+                meta[split]["focal"].append(40.0 / div)
+    with open(os.path.join(root, "metadata.json"), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+class TestMultiScale:
+    def test_reader_highres_filtering(self, tmp_path, rng):
+        from skyfall_gs_tpu.io.readers import read_multiscale_scene
+
+        root = _make_multiscale_fixture(str(tmp_path / "ms"), rng)
+        raw = read_multiscale_scene(root, eval_split=True)
+        # only d0 images for train, all scales for test
+        assert len(raw.train_cameras) == 3
+        assert len(raw.test_cameras) == 4
+        assert raw.train_cameras[0].image.shape == (32, 32, 3)
+
+        raw_all = read_multiscale_scene(root, eval_split=True,
+                                        load_allres=True)
+        assert len(raw_all.train_cameras) == 6
+
+    def test_detect(self, tmp_path, rng):
+        from skyfall_gs_tpu.io.readers import detect_scene_type
+
+        root = _make_multiscale_fixture(str(tmp_path / "ms2"), rng)
+        assert detect_scene_type(root) == "multiscale"
