@@ -16,7 +16,7 @@ import os
 import sys
 from argparse import ArgumentParser, Namespace
 from dataclasses import dataclass, field, fields
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 
 # Attributes whose reference names start with "_" (shorthand flags).

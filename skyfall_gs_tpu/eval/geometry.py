@@ -16,7 +16,6 @@ Capability parity: reference evaluate_gs_geometry.py —
 from __future__ import annotations
 
 import math
-import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np

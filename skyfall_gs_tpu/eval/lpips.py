@@ -20,7 +20,7 @@ MXU).  ``lpips_from_torch_files`` loads both from disk.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

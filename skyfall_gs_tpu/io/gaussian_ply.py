@@ -12,8 +12,6 @@ Capability parity: reference scene/gaussian_model.py:402-547 —
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import jax.numpy as jnp

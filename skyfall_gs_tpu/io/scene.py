@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import random
-import shutil
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -27,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from skyfall_gs_tpu.core.camera import Camera, make_camera
-from skyfall_gs_tpu.core.transforms import fov_to_focal, world_to_view
 from skyfall_gs_tpu.io.readers import (
     SCENE_READERS,
     CameraRecord,

@@ -28,8 +28,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from flax import struct
-
 from skyfall_gs_tpu.core.transforms import quat_to_rotmat
 from skyfall_gs_tpu.model.gaussians import GaussianAux, GaussianParams, get_opacity, get_scaling
 from skyfall_gs_tpu.model.optim import AdamState

@@ -12,7 +12,7 @@ makes multi-chip a first-class axis instead:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

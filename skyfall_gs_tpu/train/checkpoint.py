@@ -16,12 +16,8 @@ import json
 import os
 from typing import Optional, Tuple
 
-import jax
 import numpy as np
 from flax import serialization
-
-from skyfall_gs_tpu.model.appearance import AppearanceConfig
-from skyfall_gs_tpu.model.gaussians import GaussianModelState
 
 
 def _flatten(d, prefix="", out=None):

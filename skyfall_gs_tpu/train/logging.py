@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 
 class MetricsLogger:
     def __init__(self, model_path: str, log_every: int = 10,

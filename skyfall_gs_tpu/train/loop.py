@@ -22,11 +22,10 @@ densification is a second jitted function; capacity growth recompiles
 
 from __future__ import annotations
 
-import math
 import os
 import random
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import jax
