@@ -93,3 +93,71 @@ class TestGeometryCLI:
         # the fixture cameras look straight down at a z=10 plane from 500m;
         # registered MAE should be small
         assert m["mae"] < 2.0
+
+
+class TestMergeImagesCLI:
+    def test_wipe_and_side(self, tmp_path, rng):
+        import cv2
+
+        from skyfall_gs_tpu.cli.merge_images import main, merge_pair
+
+        la, lb = tmp_path / "a", tmp_path / "b"
+        os.makedirs(la), os.makedirs(lb)
+        for i in range(3):
+            cv2.imwrite(str(la / f"{i:03d}.png"),
+                        np.full((32, 32, 3), 40, np.uint8))
+            cv2.imwrite(str(lb / f"{i:03d}.png"),
+                        np.full((32, 32, 3), 200, np.uint8))
+        out = tmp_path / "out"
+        main(["--left", str(la), "--right", str(lb), "--out", str(out)])
+        m = cv2.imread(str(out / "001.png")).astype(np.float32) / 255.0
+        # seam at 0.5: left half from a (dark), right half from b (bright)
+        assert abs(m[0, 4, 0] - 40 / 255.0) < 0.02
+        assert abs(m[0, 28, 0] - 200 / 255.0) < 0.02
+
+        out2 = tmp_path / "out2"
+        main(["--left", str(la), "--right", str(lb), "--out", str(out2),
+              "--mode", "side"])
+        s = cv2.imread(str(out2 / "000.png"))
+        assert s.shape[1] == 64
+
+        a = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        b = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        w = merge_pair(a, b, 0.0)
+        np.testing.assert_allclose(w[:, 1:], b[:, 1:])
+
+
+@pytest.mark.slow
+class TestAlignGesCLI:
+    def test_ternary_search_runs(self, tmp_path, rng):
+        """align_ges end-to-end on a tiny checkpoint + fake GES frames."""
+        import cv2
+
+        from skyfall_gs_tpu.cli.align_ges import main
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.train.checkpoint import save_checkpoint
+        from skyfall_gs_tpu.train.step import init_train_state
+
+        n = 64
+        pts = np.stack([rng.uniform(-20, 20, n), rng.uniform(-20, 20, n),
+                        rng.normal(0, 1, n)], 1).astype(np.float32)
+        cols = rng.uniform(0.2, 0.9, (n, 3)).astype(np.float32)
+        st = init_train_state(create_from_points(pts, cols, capacity=128,
+                                                 init_opacity=0.9))
+        ckpt = str(tmp_path / "ck.npz")
+        save_checkpoint(ckpt, st, 1)
+
+        ges = tmp_path / "ges"
+        os.makedirs(ges)
+        for i in range(2):
+            cv2.imwrite(str(ges / f"f{i}.png"),
+                        (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8))
+
+        out_json = str(tmp_path / "path.json")
+        main(["--checkpoint", ckpt, "--ges_frames", str(ges),
+              "--iters", "1", "--num_frames", "2", "--radius", "60",
+              "--out_path", out_json])
+        path = json.load(open(out_json))
+        assert "camera_path" in path and len(path["camera_path"]) == 240
+        alt = path["_target"][2]
+        assert -50.0 <= alt <= 150.0

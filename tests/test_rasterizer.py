@@ -236,3 +236,23 @@ class TestNaNGuards:
 
         g = jax.grad(loss)(means)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestCov3DPrecomp:
+    def test_precomputed_covariance_matches(self, rng):
+        """pipe.compute_cov3D_python parity: passing precomputed 3D
+        covariances equals the scales/quats path."""
+        from skyfall_gs_tpu.core.transforms import covariance_from_scaling_rotation
+        from skyfall_gs_tpu.ops.projection import project_gaussians
+
+        cam = make_test_camera(32, 32)
+        d = make_random_splats(rng, 30)
+        a = project_gaussians(d["means3d"], d["scales"], d["quats"],
+                              d["opacities"], cam)
+        cov3d = covariance_from_scaling_rotation(d["scales"], d["quats"])
+        b = project_gaussians(d["means3d"], d["scales"], d["quats"],
+                              d["opacities"], cam, cov3d=cov3d)
+        np.testing.assert_allclose(np.asarray(a.conic), np.asarray(b.conic),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.opacity),
+                                   np.asarray(b.opacity), rtol=1e-5)

@@ -448,3 +448,25 @@ class TestPseudoDepth:
         state2 = orch.train_episode(state, 0, [[0.0, 0.0, 0.0]],
                                     60.0, 3.0, 60.0)
         assert int(state2.step) == 6
+
+
+@pytest.mark.slow
+class TestRayJitter:
+    def test_jitter_and_resample_step(self, rng, tmp_path):
+        """ray_jitter + resample_gt_image run and stay finite through the
+        jitted step (reference train.py:189-215 options)."""
+        scene = _synthetic_scene(rng, n_views=3)
+        model_cfg = ModelConfig(model_path=str(tmp_path), ray_jitter=True,
+                                resample_gt_image=True)
+        opt_cfg = OptimizationConfig(
+            iterations=5, densify_from_iter=10 ** 9, densify_until_iter=0,
+            opacity_reset_interval=10 ** 9, lambda_depth=0.5,
+            lambda_opacity=0.01, position_lr_max_steps=5)
+        trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(), scene)
+        state = trainer.init_state()
+        losses = []
+        trainer.logger.log_step = lambda it, m, el: losses.append(float(m.loss))
+        state = trainer.train(state, iterations=5)
+        trainer.logger.flush = lambda: None
+        assert all(np.isfinite(l) for l in losses)
+        assert bool(jnp.all(jnp.isfinite(state.model.params.xyz)))
