@@ -59,6 +59,10 @@ def ssim(img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
     if img0.ndim == 3:
         img0 = img0[None]
         img1 = img1[None]
+    # NOTE: batching the five blurs into one stacked conv looks faster in
+    # isolation (fixed per-conv cost) but regresses the fused train step —
+    # the concat materializes the moment maps to HBM, whereas separate blurs
+    # let XLA fuse each elementwise product into its conv input.
     mu0 = _blur(img0)
     mu1 = _blur(img1)
     mu00 = mu0 * mu0
