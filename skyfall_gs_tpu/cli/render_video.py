@@ -115,12 +115,39 @@ def main(argv=None) -> None:
         parser.error("need --checkpoint or --ply")
 
     if args.scale_histogram:
+        # Gaussian scale diagnostics (reference render_video.py:199-223):
+        # per-splat max scale statistics + a histogram PNG next to the video.
         from skyfall_gs_tpu.model.gaussians import get_scaling
 
         s = np.asarray(get_scaling(state.params)).max(axis=1)
         s = s[np.asarray(state.aux.alive)]
-        qs = np.percentile(s, [0, 25, 50, 75, 99, 100])
-        print("scale quantiles [0/25/50/75/99/100]:", np.round(qs, 4))
+        print(f"splats: {s.shape[0]}")
+        print(f"Min:    {s.min():.6f}")
+        print(f"Max:    {s.max():.6f}")
+        print(f"Mean:   {s.mean():.6f}")
+        print(f"Std:    {s.std():.6f}")
+        print(f"Median: {np.median(s):.6f}")
+        print(f"Q99:    {np.percentile(s, 99):.6f}")
+        try:
+            import os
+
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure(figsize=(10, 6))
+            plt.hist(s, bins=480, range=(0, 30), edgecolor="black")
+            plt.title("Gaussian max-scale histogram")
+            plt.xlabel("scale")
+            plt.ylabel("frequency")
+            plt.grid(True, alpha=0.3)
+            hist_path = os.path.splitext(args.out)[0] + "_scale_hist.png"
+            plt.savefig(hist_path, dpi=150, bbox_inches="tight")
+            plt.close()
+            print(f"histogram saved to {hist_path}")
+        except Exception as e:  # matplotlib optional in minimal images
+            print(f"(histogram PNG skipped: {e})")
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     frames, fps_measured = render_trajectory(

@@ -61,7 +61,13 @@ def mean_std(u: np.ndarray, v: np.ndarray, dx: int = 0, dy: int = 0):
 
 def ncc(u, v, dx=0, dy=0) -> float:
     muu, muv, sigu, sigv, xcorr = mean_std(u, v, dx, dy)
-    return xcorr / (sigu * sigv)
+    denom = sigu * sigv
+    # Degenerate flat patches (zero variance) carry no alignment signal:
+    # return -inf so compute_ncc never selects them, instead of warning on
+    # a 0/0 division.
+    if not np.isfinite(denom) or denom == 0.0:
+        return -np.inf
+    return xcorr / denom
 
 
 def compute_ncc(u, v, irange: int, initdx: int, initdy: int):
@@ -94,7 +100,7 @@ def compute_shift_arrays(u: np.ndarray, v: np.ndarray, scaling: bool = True):
         v = v[None]
     dx, dy = recursive_ncc(u, v)
     muu, muv, sigu, sigv, _ = mean_std(u, v, dx, dy)
-    a = sigu / sigv if scaling else 1.0
+    a = sigu / sigv if (scaling and np.isfinite(sigv) and sigv > 0) else 1.0
     b = muu - muv * a
     return dx, dy, a, b
 

@@ -49,6 +49,11 @@ class RenderOutput:
     normal: jnp.ndarray   # (H, W, 3) premultiplied blended normals
     alpha: jnp.ndarray    # (H, W) 1 - final transmittance
     radii: jnp.ndarray    # (N,) int32 screen radii, 0 = culled/invisible
+    # () int32: duplicated entries dropped by an undersized bin capacity
+    # (tiled backend only; 0 = everything composited). Nonzero means the
+    # highest-index splats silently vanished from the render AND their
+    # gradients — surface it, don't ignore it.
+    overflow: Optional[jnp.ndarray] = None
 
     @property
     def visibility(self) -> jnp.ndarray:
@@ -107,6 +112,7 @@ def rasterize(
     # Blend channels: [r, g, b, depth, nx, ny, nz]
     channels = jnp.concatenate([colors, proj.depth[:, None], normals], axis=-1)
 
+    overflow = None
     if backend == "reference":
         out, t_final = composite_reference(
             mean2d, proj.conic, proj.depth, proj.radius, proj.opacity,
@@ -115,7 +121,7 @@ def rasterize(
     elif backend == "tiled":
         from skyfall_gs_tpu.ops.rasterize_tiled import composite_tiled
 
-        out, t_final = composite_tiled(
+        out, t_final, overflow = composite_tiled(
             mean2d, proj.conic, proj.depth, proj.radius, proj.opacity,
             channels, camera.height, camera.width,
             subpixel_offset=subpixel_offset,
@@ -141,4 +147,5 @@ def rasterize(
         normal=out[..., 4:7],
         alpha=alpha,
         radii=proj.radius,
+        overflow=overflow,
     )

@@ -315,7 +315,13 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
         wdma(slot, c).start()
 
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
-        q_run = jnp.max(jnp.where(keep, q, q_run), axis=1, keepdims=True)
+        # Carry the chunk total: q's summand w * a_dot is zeroed past
+        # termination (w masks on keep), so the inclusive cumsum is constant
+        # from the last live lane onward and lane CHUNK-1 is exact.  A
+        # max-over-keep carry is WRONG here — a_dot is mixed-sign, so the
+        # prefix sum is not monotone (regression: multi-chunk grad parity
+        # test in tests/test_rasterizer.py).
+        q_run = q[:, CHUNK - 1:CHUNK]
         return c + 1, t_run, q_run
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
@@ -482,7 +488,10 @@ def composite_tiled(
     absolute screen gradients routed into ``mean2d_abs_dummy``'s cotangent.
 
     Returns:
-        (out (H, W, 7) premultiplied channels, T_final (H, W)).
+        (out (H, W, 7) premultiplied channels, T_final (H, W),
+         overflow () int32 — duplicated entries dropped because ``cap`` was
+         undersized; nonzero means the highest-index splats are missing from
+         both the render and its gradients).
     """
     n = mean2d.shape[0]
     nch_in = channels.shape[1]
@@ -557,4 +566,4 @@ def composite_tiled(
         .transpose(0, 2, 1, 3)
         .reshape(hp, wp)
     )[:height, :width]
-    return img[..., : NCH - 1], tfin_img
+    return img[..., : NCH - 1], tfin_img, binned.overflow

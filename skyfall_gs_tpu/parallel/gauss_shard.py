@@ -113,11 +113,11 @@ def sharded_render_merge(
     if mean2d_abs_dummy is not None:
         absd = jax.lax.all_gather(mean2d_abs_dummy, axis).reshape(-1, 2)
 
-    out_k, tfin_k = composite_tiled(
+    out_k, tfin_k, overflow_k = composite_tiled(
         g_mean2d, g_conic, g_depth, radii_bin, g_opac, g_channels,
         camera.height, camera.width,
         mean2d_abs_dummy=absd, cap=bin_capacity,
-    )                                              # (H, W, 7), (H, W)
+    )                                              # (H, W, 7), (H, W), ()
 
     # Exact depth-ordered merge across bins.
     outs = jax.lax.all_gather(out_k, axis)         # (B, H, W, 7)
@@ -136,7 +136,8 @@ def sharded_render_merge(
     color = acc[..., :3] + t_all[..., None] * bg[None, None, :]
     alpha = 1.0 - t_all
     depth = acc[..., 3] / jnp.maximum(alpha, 1e-8)  # alpha-normalized
-    return color, depth, alpha, proj.radius
+    overflow = jax.lax.psum(overflow_k, axis)
+    return color, depth, alpha, proj.radius, overflow
 
 
 def make_gauss_sharded_train_step(
@@ -184,7 +185,7 @@ def make_gauss_sharded_train_step(
                 eval_sh(model.active_sh_degree,
                         jnp.swapaxes(params.features, 1, 2), dirs) + 0.5, 0.0)
 
-            color, depth_img, alpha, radii = sharded_render_merge(
+            color, depth_img, alpha, radii, overflow = sharded_render_merge(
                 params.xyz, scales, params.rotation, opac, colors,
                 model.aux.alive, camera, bg, kernel_size, axis, num_bins,
                 mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
@@ -210,7 +211,8 @@ def make_gauss_sharded_train_step(
             total = total + lambda_opacity * o_loss
             return total, {"l1": ll1, "depth_loss": d_loss,
                            "opacity_loss": o_loss, "radii": radii,
-                           "psnr": psnr(image, gt)}
+                           "psnr": psnr(image, gt),
+                           "overflow": jax.lax.stop_gradient(overflow)}
 
         (loss, aux_out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
@@ -233,6 +235,7 @@ def make_gauss_sharded_train_step(
             loss=loss, l1=aux_out["l1"], depth_loss=aux_out["depth_loss"],
             opacity_loss=aux_out["opacity_loss"], psnr=aux_out["psnr"],
             n_alive=jax.lax.psum(jnp.sum(new_aux.alive), axis),
+            overflow=aux_out["overflow"],
         )
         return new_state, metrics
 

@@ -95,9 +95,12 @@ def make_parallel_train_step(
                 total = total + opt_cfg.lambda_depth * d_loss
             o_loss = opacity_entropy_loss(get_opacity(params), m.aux.alive)
             total = total + lambda_opacity * o_loss
+            overflow = (out.overflow if out.overflow is not None
+                        else jnp.zeros((), jnp.int32))
             return total, {"l1": ll1, "depth_loss": d_loss,
                            "opacity_loss": o_loss, "radii": out.radii,
-                           "psnr": psnr(image, gt)}
+                           "psnr": psnr(image, gt),
+                           "overflow": jax.lax.stop_gradient(overflow)}
 
         (loss, aux_out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
@@ -137,6 +140,7 @@ def make_parallel_train_step(
             opacity_loss=aux_out["opacity_loss"],
             psnr=jax.lax.pmean(aux_out["psnr"], axis),
             n_alive=jnp.sum(new_aux.alive),
+            overflow=jax.lax.psum(aux_out["overflow"], axis),
         )
         return new_state, metrics
 

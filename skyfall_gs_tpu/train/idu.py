@@ -172,11 +172,19 @@ class IDUOrchestrator:
             max_steps=o.idu_position_lr_max_steps,
         )
 
+        if t.bin_capacity is None:
+            t._update_bin_capacity(state)
         step_cache = {}
 
         def idu_step_fn(use_pseudo: bool):
-            key = use_pseudo
+            # Same LPIPS swap and right-sized binning capacity as Stage 1
+            # (reference applies the LPIPS loss inside IDU episodes too,
+            # train.py:774-776).
+            key = (use_pseudo, t.bin_capacity)
             if key not in step_cache:
+                lpips_fn = None
+                if o.use_lpips_loss:
+                    lpips_fn = t._get_lpips()._jitted
                 step_cache[key] = make_train_step(
                     o, kernel_size=cfg.kernel_size,
                     backend=t.pipe_cfg.rasterizer_backend,
@@ -186,6 +194,8 @@ class IDUOrchestrator:
                     use_pseudo=use_pseudo,
                     photometric=o.idu_refine,
                     testing_render=not o.idu_random_ap,
+                    bin_capacity=t.bin_capacity,
+                    lpips_fn=lpips_fn,
                 )
             return step_cache[key]
 

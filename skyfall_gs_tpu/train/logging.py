@@ -56,6 +56,12 @@ class MetricsLogger:
                 for k, v in vals.items():
                     self._tb.add_scalar(f"train/{k}", v, iteration)
                 self._tb.add_scalar("train/iters_per_sec", its, iteration)
+            if vals.get("overflow", 0) > 0:
+                print(f"[{iteration}] WARNING: binning capacity overflow — "
+                      f"{int(vals['overflow'])} duplicated entries dropped "
+                      "from the render and its gradients; raise "
+                      "pipe.bin_capacity or let _update_bin_capacity re-run",
+                      flush=True)
             if iteration % self.print_every == 0:
                 print(f"[{iteration}] loss={self._ema_loss:.5f} "
                       f"psnr={vals['psnr']:.2f} n={int(vals['n_alive'])} "

@@ -52,6 +52,10 @@ class StepMetrics(NamedTuple):
     opacity_loss: jnp.ndarray
     psnr: jnp.ndarray
     n_alive: jnp.ndarray
+    # duplicated entries dropped by an undersized binning capacity; nonzero
+    # means splats silently vanished from this step's render + gradients
+    # (the logger warns so _update_bin_capacity undersizing is visible)
+    overflow: jnp.ndarray
 
 
 @struct.dataclass
@@ -183,6 +187,9 @@ def make_train_step(
                 "opacity_loss": o_loss,
                 "radii": out.radii,
                 "psnr": psnr(image, gt),
+                "overflow": jax.lax.stop_gradient(
+                    out.overflow if out.overflow is not None
+                    else jnp.zeros((), jnp.int32)),
             }
             return total, aux
 
@@ -214,6 +221,7 @@ def make_train_step(
             opacity_loss=aux_out["opacity_loss"],
             psnr=aux_out["psnr"],
             n_alive=jnp.sum(new_aux.alive),
+            overflow=aux_out["overflow"],
         )
         return new_state, metrics
 

@@ -147,6 +147,47 @@ class TestTiledParity:
             scale = float(jnp.max(jnp.abs(a))) + 1e-6
             assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
 
+    def test_gradients_match_oracle_multichunk_mixed_sign(self, rng):
+        """Regression: >CHUNK entries per tile with a mixed-sign cotangent.
+
+        The backward kernel carries the prefix sum Q = cumsum(w * (c . dC))
+        across chunk boundaries; Q is NOT monotone when dC has negative
+        components, so any max-based carry corrupts geometry/opacity grads
+        from the second chunk onward (color grads bypass Q and would still
+        match).  Needs >128 entries in one tile to exercise the carry.
+        """
+        from skyfall_gs_tpu.ops.rasterize_tiled import CHUNK
+
+        cam = make_test_camera(16, 16)  # single 16x16 tile
+        n = 3 * CHUNK
+        d = make_random_splats(rng, n, spread=0.35, scale_mu=-2.0)
+        # low opacities so transmittance survives well past CHUNK entries
+        opac = jnp.asarray(rng.uniform(0.02, 0.08, n).astype(np.float32))
+        args = (d["means3d"], d["scales"], d["quats"], opac, d["colors"])
+        signs = jnp.asarray(
+            np.where(rng.uniform(size=(16, 16, 3)) < 0.5, -1.0, 1.0),
+            jnp.float32)
+
+        def loss(backend, *xs):
+            out = rasterize(*xs, cam, bg=jnp.zeros(3), backend=backend)
+            return jnp.sum(out.color * signs) + 0.5 * jnp.sum(out.alpha)
+
+        # sanity: the tile really spans multiple chunks
+        from skyfall_gs_tpu.ops.binning import bin_gaussians
+        from skyfall_gs_tpu.ops.projection import project_gaussians
+        proj = project_gaussians(args[0], args[1], args[2], args[3], cam)
+        binned = bin_gaussians(proj.mean2d, proj.depth, proj.radius, 16, 16,
+                               cap=4096, chunk=CHUNK)
+        assert int(np.asarray(binned.tile_count).max()) > CHUNK
+
+        ga = jax.grad(lambda *xs: loss("reference", *xs),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        gb = jax.grad(lambda *xs: loss("tiled", *xs),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(ga, gb):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-6
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
+
     def test_abs_gradients_nonnegative_and_bound_signed(self, rng):
         cam = make_test_camera(32, 32)
         args = _splat_args(rng, 60)

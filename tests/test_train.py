@@ -357,7 +357,7 @@ class TestGaussianSharded:
             get_opacity, get_scaling)
 
         def local(xyz, scales, quats, opac, colors, alive):
-            c, d, a, r = sharded_render_merge(
+            c, d, a, r, _overflow = sharded_render_merge(
                 xyz, scales, quats, opac, colors, alive, cam, bg,
                 0.1, "gauss", 4)
             return c
