@@ -62,19 +62,27 @@ def main():
     opt_cfg = OptimizationConfig()
     step = make_train_step(opt_cfg, use_depth=True)
 
-    k = jax.random.PRNGKey(0)
+    # Pre-split keys and hoist traced scalars: an eagerly dispatched
+    # jax.random.split chained per iteration costs ~35 ms/step through the
+    # axon tunnel, and fresh jnp.float32() scalars add per-step transfers —
+    # neither is part of the training step (the Trainer drives the same
+    # way).
+    keys = jax.random.split(jax.random.PRNGKey(0), WARMUP + MEASURE)
+    xyz_lr = jnp.float32(1e-4)
+    lam_o = jnp.float32(0.1)
+
     for i in range(WARMUP):
-        k, kk = jax.random.split(k)
-        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg, kk,
-                           jnp.float32(1e-4), jnp.float32(0.1))
-    jax.block_until_ready(ts.model.params.xyz)
+        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg,
+                           keys[i], xyz_lr, lam_o)
+    # sync by reading a scalar back: block_until_ready does not actually
+    # synchronize through the axon tunnel
+    float(np.asarray(ts.model.params.xyz[0, 0]))
 
     t0 = time.perf_counter()
     for i in range(MEASURE):
-        k, kk = jax.random.split(k)
-        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg, kk,
-                           jnp.float32(1e-4), jnp.float32(0.1))
-    jax.block_until_ready(ts.model.params.xyz)
+        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg,
+                           keys[WARMUP + i], xyz_lr, lam_o)
+    float(np.asarray(ts.model.params.xyz[0, 0]))
     dt = time.perf_counter() - t0
 
     its = MEASURE / dt

@@ -98,7 +98,8 @@ def main():
     opac = opacity_with_3d_filter(params, model.aux.filter_3d)
     proj = project_gaussians(params.xyz, scales, params.rotation, opac, cam,
                              kernel_size=0.1, mask=model.aux.alive)
-    n_entries = int(count_entries(proj.mean2d, proj.radius, IMG, IMG))
+    n_entries = int(count_entries(proj.mean2d, proj.radius, IMG, IMG,
+                                  radius_xy=proj.radius_xy))
     from skyfall_gs_tpu.ops.rasterize_tiled import default_capacity
 
     print(f"entries={n_entries} default_cap={default_capacity(N_GAUSSIANS)}",
@@ -106,12 +107,12 @@ def main():
 
     if want("step"):
         step = make_train_step(opt_cfg, use_depth=True)
-        k = jax.random.PRNGKey(0)
+        kk = jax.random.PRNGKey(0)
+        lr = jnp.float32(1e-4)
+        lo = jnp.float32(0.1)
 
         def run_step(ts):
-            _, kk = jax.random.split(k)
-            new_ts, m = step(ts, cam, gt, mask, depth, bg, kk,
-                             jnp.float32(1e-4), jnp.float32(0.1))
+            new_ts, m = step(ts, cam, gt, mask, depth, bg, kk, lr, lo)
             return new_ts.model.params.xyz
 
         timeit("full train step", run_step, ts)
@@ -192,3 +193,103 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# Appended probes (round 2): step-shaped decompositions.
+
+
+def extra_probes():
+    import jax
+    import jax.numpy as jnp
+
+    from skyfall_gs_tpu.config import OptimizationConfig
+    from skyfall_gs_tpu.model.render import render
+    from skyfall_gs_tpu.model.densify import add_densification_stats
+    from skyfall_gs_tpu.model.optim import (
+        adam_update, make_lr_tree, make_weight_decay_tree)
+    from skyfall_gs_tpu.ops.losses import (
+        depth_pearson_loss, opacity_entropy_loss, photometric_loss, psnr)
+    from skyfall_gs_tpu.model.gaussians import get_opacity
+
+    which = set(sys.argv[1:])
+
+    def want(name):
+        return not which or name in which
+
+    ts, cams, gt, mask, depth, bg = make_inputs()
+    cam = cams[0]
+    model = ts.model
+    params = model.params
+    opt_cfg = OptimizationConfig()
+
+    if want("fwdbwd_dummies"):
+        @jax.jit
+        def f(params):
+            cap = params.capacity
+            dummies0 = (jnp.zeros((cap, 2)), jnp.zeros((cap, 2)))
+
+            def loss(p, dummies):
+                m = model.replace(params=p)
+                out = render(m, cam, bg, kernel_size=0.1,
+                             mean2d_dummy=dummies[0],
+                             mean2d_abs_dummy=dummies[1], with_normals=False)
+                return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
+
+            _, g = jax.value_and_grad(loss, argnums=(0, 1))(params, dummies0)
+            return g[0].xyz
+
+        timeit("fwd+bwd incl. dummy/AbsGS grads", f, params)
+
+    if want("fwdbwd_losses"):
+        @jax.jit
+        def f(params):
+            cap = params.capacity
+            dummies0 = (jnp.zeros((cap, 2)), jnp.zeros((cap, 2)))
+
+            def loss(p, dummies):
+                m = model.replace(params=p)
+                out = render(m, cam, bg, kernel_size=0.1,
+                             mean2d_dummy=dummies[0],
+                             mean2d_abs_dummy=dummies[1], with_normals=False)
+                image = out.color * mask[..., None]
+                gtm = gt * mask[..., None]
+                photo, ll1 = photometric_loss(
+                    jnp.transpose(image, (2, 0, 1)),
+                    jnp.transpose(gtm, (2, 0, 1)), opt_cfg.lambda_dssim)
+                total = photo + opt_cfg.lambda_depth * depth_pearson_loss(
+                    depth * mask, out.depth * mask)
+                total = total + 0.1 * opacity_entropy_loss(
+                    get_opacity(p), model.aux.alive)
+                return total, out.radii
+
+            (_, radii), g = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(params, dummies0)
+            return g[0].xyz
+
+        timeit("fwd+bwd + full losses", f, params)
+
+    if want("adam"):
+        g0 = jax.tree.map(jnp.ones_like, params)
+
+        @jax.jit
+        def f(params):
+            lr_tree = make_lr_tree(params, opt_cfg, jnp.float32(1e-4))
+            wd_tree = make_weight_decay_tree(params, opt_cfg)
+            new_p, _ = adam_update(g0, ts.opt, params, lr_tree,
+                                   weight_decay_tree=wd_tree)
+            return new_p.xyz
+
+        timeit("adam update only", f, params)
+
+    if want("densify_stats"):
+        g2 = jnp.ones((params.capacity, 2))
+        radii = jnp.ones((params.capacity,), jnp.int32)
+
+        @jax.jit
+        def f(aux):
+            return add_densification_stats(aux, g2, g2, radii, IMG, IMG).denom
+
+        timeit("densify stats", f, model.aux)
+
+
+if __name__ == "__main__" and "extra" in sys.argv[1:]:
+    extra_probes()

@@ -37,6 +37,12 @@ class ProjectedGaussians:
     radius: jnp.ndarray        # (N,) int32 3-sigma screen radius; 0 = culled
     opacity: jnp.ndarray       # (N,) opacity incl. mip 2D compensation
     compensation: jnp.ndarray  # (N,) the sqrt(det0/det1) factor itself
+    # Exact axis-aligned half-extents of the alpha>=1/255 cutoff ellipse
+    # (sigma_mult * sqrt(cov_xx / cov_yy)); always <= radius.  Binning uses
+    # these for the touched-tile rect — anisotropic splats duplicate into
+    # far fewer tiles than the circumscribed square, with zero output
+    # change (any pixel above the alpha threshold lies inside the AABB).
+    radius_xy: jnp.ndarray = None  # (N, 2) int32
 
 
 def perspective_project(means3d: jnp.ndarray, camera: Camera) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -177,26 +183,39 @@ def project_gaussians(
     # sigma * sqrt(2 ln(255 op)) every pixel provably fails the test.  The
     # classic 3-sigma radius is the op ~= 1 limit; low-opacity splats get a
     # tighter rect, which cuts duplicated entries without changing output.
-    op_eff = jnp.clip(opacities * compensation, 1e-12, 0.99)
+    op_eff = jnp.clip(opacities * compensation, 1e-12, 1.0)
     log_term = jnp.maximum(2.0 * jnp.log(255.0 * op_eff), 1e-6)
+    # Stats/visibility radius keeps the classic 3-sigma cap (the reference
+    # CUDA convention; feeds max_radii2D and size pruning).
     sigma_mult = jnp.minimum(jnp.sqrt(log_term), 3.0)
     radius = jnp.ceil(sigma_mult * jnp.sqrt(lam1))
+    # Exact AABB of the alpha >= 1/255 cutoff ellipse: half-extent along x
+    # is sqrt(2 ln(255 op) * cov_xx) (cov_yy along y) — much smaller than
+    # the eigenvalue square for anisotropic splats.  UNcapped (up to 3.33
+    # sigma at op = 1) so every pixel the compositor's alpha test passes is
+    # inside a binned tile — required for exact oracle parity; +0.5 px
+    # margin covers ray-jitter sampling offsets.
+    sm_exact = jnp.sqrt(log_term)
+    rx = jnp.ceil(sm_exact * jnp.sqrt(jnp.maximum(cov2d[:, 0, 0], 0.0)) + 0.5)
+    ry = jnp.ceil(sm_exact * jnp.sqrt(jnp.maximum(cov2d[:, 1, 1], 0.0)) + 0.5)
 
     # Splats whose peak alpha is already below 1/255 never composite.
     visible = keep & (det > 0.0) & (op_eff >= 1.0 / 255.0)
-    # Cull splats whose 3-sigma extent misses the image entirely.
+    # Cull splats whose cutoff AABB misses the image entirely.
     width = jnp.float32(camera.width)
     height = jnp.float32(camera.height)
     on_screen = (
-        (mean2d[:, 0] + radius >= 0.0)
-        & (mean2d[:, 0] - radius < width)
-        & (mean2d[:, 1] + radius >= 0.0)
-        & (mean2d[:, 1] - radius < height)
+        (mean2d[:, 0] + rx >= 0.0)
+        & (mean2d[:, 0] - rx < width)
+        & (mean2d[:, 1] + ry >= 0.0)
+        & (mean2d[:, 1] - ry < height)
     )
     visible = visible & on_screen
     if mask is not None:
         visible = visible & mask
     radius_i = jnp.where(visible, radius, 0.0).astype(jnp.int32)
+    radius_xy = jnp.where(
+        visible[:, None], jnp.stack([rx, ry], axis=1), 0.0).astype(jnp.int32)
 
     return ProjectedGaussians(
         mean2d=mean2d,
@@ -205,6 +224,7 @@ def project_gaussians(
         radius=radius_i,
         opacity=opacities * compensation,
         compensation=compensation,
+        radius_xy=radius_xy,
     )
 
 

@@ -128,6 +128,7 @@ def rasterize(
             mean2d_abs_dummy=mean2d_abs_dummy,
             cap=bin_capacity,
             inference=inference,
+            radius_xy=proj.radius_xy,
         )
     else:
         raise ValueError(f"unknown rasterize backend: {backend}")

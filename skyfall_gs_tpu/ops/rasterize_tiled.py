@@ -12,8 +12,9 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
     256-aligned offsets (the Mosaic DMA alignment rule).
   * Per chunk: pixels on sublanes (the tile's 256 pixels as a (256, 1)
     column), gaussians on lanes ((1, CHUNK) attribute rows) -> (256, CHUNK)
-    alpha matrices on the VPU; the front-to-back blend uses a log-step
-    prefix product along lanes; channel accumulation is one MXU matmul per
+    alpha matrices on the VPU; the front-to-back blend's prefix
+    product runs as exp(cumsum(log)) with the cumsum on the MXU
+    (one triangular matmul instead of a 7-pass VPU lane scan); channel accumulation is one MXU matmul per
     chunk ((8, CHUNK) x (256, CHUNK)^T -> (8, 256)).
   * Early termination: the tile loop stops once every pixel's transmittance
     falls below 1e-4 (the CUDA rule, applied per chunk).
@@ -23,9 +24,12 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
     lane-parallel sublane reductions plus two MXU matmuls.  It additionally
     emits AbsGS absolute screen-space gradients (reference
     scene/gaussian_model.py:744-749) as two extra gradient rows.
-  * Per-tile entry runs are chunk-aligned (binning), so backward writes
-    gradient chunks with plain contiguous DMAs — no read-modify-write, no
-    cross-tile overlap, no atomics needed.
+  * Entries stay in the sorted order (no re-layout scatter): both kernels
+    over-read each tile's run from the previous chunk boundary and mask.
+    The backward kernel writes gradient chunks to an exclusive chunk-
+    aligned region per tile inside a padded gradient buffer; a cheap
+    elementwise map (binning.grad_dest) gathers them back to entry order —
+    no read-modify-write, no cross-tile overlap, no atomics needed.
 
 The custom-VJP boundary wraps only (sorted attributes -> tile images); the
 projection before it and the gather into sorted order are plain JAX, so XLA
@@ -56,6 +60,8 @@ from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 P = TILE * TILE      # pixels per tile = 256
 NA = 16              # attribute rows per entry
 CHUNK = 128          # gaussian entries per inner iteration
+# (256 doubles per-entry MXU prefix work: +18 ms/step; 64 violates the
+#  128-lane DMA slice alignment)
 NCH = 8              # channel rows (7 used + 1 pad)
 
 
@@ -64,7 +70,8 @@ class _Config(NamedTuple):
     tiles_x: int
     cap_pad: int
     interpret: bool
-    aligned: bool = True
+    grad_cap: int = 0  # static gradient-buffer size (training only)
+    n_rows: int = 0    # N + 1 attribute rows incl. the dummy (training only)
 
 
 def _interpret_default() -> bool:
@@ -76,25 +83,29 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _lane_scan(x: jnp.ndarray, op, identity: float) -> jnp.ndarray:
-    """Inclusive prefix scan along lanes (axis 1) in log2(G) steps."""
-    g = x.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < g:
-        shifted = pltpu.roll(x, s, 1)
-        shifted = jnp.where(cols >= s, shifted, identity)
-        x = op(x, shifted)
-        s *= 2
-    return x
+def _tri_incl() -> jnp.ndarray:
+    """(CHUNK, CHUNK) upper-triangular ones: X @ TRI = inclusive lane cumsum.
+
+    One MXU matmul replaces the log2(CHUNK)=7 roll/where/op VPU passes of a
+    log-step scan — the scans were the kernels' VPU hotspot.
+    """
+    k = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (k <= g).astype(jnp.float32)
 
 
-def _cumprod_incl(x):
-    return _lane_scan(x, jax.lax.mul, 1.0)
+def _cumsum_incl(x, tri):
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _cumsum_incl(x):
-    return _lane_scan(x, jax.lax.add, 0.0)
+def _cumprod_incl(x, tri):
+    """Inclusive lane cumprod of x in (0, 1]: exp(cumsum(log x)) on the MXU.
+
+    Safe here: x = 1 - alpha with alpha <= ALPHA_MAX = 0.99, so x >= 0.01
+    and log is well-conditioned; masked lanes are exactly 1 (log 0).
+    """
+    return jnp.exp(_cumsum_incl(jnp.log(x), tri))
 
 
 def _excl_from_incl_prod(incl: jnp.ndarray) -> jnp.ndarray:
@@ -153,18 +164,19 @@ def _make_read_dma(attrs_ref, buf_ref, sem_ref, start):
 # Forward kernel
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(tiles_x: int, aligned: bool, start_ref, count_ref, attrs_ref,
-                offx_ref, offy_ref, out_ref, tfin_ref, buf, sems):
+def _fwd_kernel(tiles_x: int, packed: bool, start_ref, count_ref, base_ref,
+                attrs_ref, offx_ref, offy_ref, out_ref, tfin_ref, buf, sems):
     t = pl.program_id(0)
     start = start_ref[t]
     cnt = count_ref[t]
-    if aligned:
-        base, off0 = start, jnp.int32(0)
-    else:
-        base = (start // CHUNK) * CHUNK
-        off0 = start - base
+    base = base_ref[t]               # chunk-aligned read offset (binning)
+    # packed (inference): runs share the sorted buffer, over-read from the
+    # chunk boundary below and mask the prefix lanes.  Training layout:
+    # each run starts its own region, no prefix.
+    off0 = jax.lax.rem(start, CHUNK) if packed else jnp.int32(0)
     nchunks = (off0 + cnt + CHUNK - 1) // CHUNK
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
+    tri = _tri_incl()
     dma = _make_read_dma(attrs_ref, buf, sems, base)
 
     @pl.when(nchunks > 0)
@@ -188,7 +200,7 @@ def _fwd_kernel(tiles_x: int, aligned: bool, start_ref, count_ref, attrs_ref,
         alpha, _, _, _, _, _, _, _, _ = _chunk_state(
             chunk, px, py, c * CHUNK, off0, off0 + cnt)
         one_minus = 1.0 - alpha
-        cum = _cumprod_incl(one_minus)                       # (P, G)
+        cum = _cumprod_incl(one_minus, tri)                  # (P, G)
         t_after = t_run * cum                                # t_run (P, 1)
         keep = t_after >= T_EPS
         t_before = t_run * _excl_from_incl_prod(cum)
@@ -217,15 +229,17 @@ def _fwd_kernel(tiles_x: int, aligned: bool, start_ref, count_ref, attrs_ref,
 # Backward kernel
 # ----------------------------------------------------------------------------
 
-def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
+def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
                 offx_ref, offy_ref, outres_ref, tfin_ref, dout_ref, dtfin_ref,
                 dattrs_ref, buf, dbuf, rsems, wsems):
+    del start_ref  # training layout has no prefix: runs start at gstart
     t = pl.program_id(0)
-    start = start_ref[t]
     cnt = count_ref[t]
+    gstart = gstart_ref[t]           # read base AND write base (same layout)
     nchunks = (cnt + CHUNK - 1) // CHUNK
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
-    dma = _make_read_dma(attrs_ref, buf, rsems, start)
+    tri = _tri_incl()
+    dma = _make_read_dma(attrs_ref, buf, rsems, gstart)
 
     dout = dout_ref[0]                                       # (8, P)
     outres = outres_ref[0]                                   # (8, P)
@@ -237,7 +251,11 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
     ) + dtfin_ref[...] * tfin_ref[...]
 
     def wdma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        # Gradient chunks land at the SAME slots the attributes were read
+        # from (binning's materialized over-read layout): exclusive chunk-
+        # aligned regions per tile — plain copies, no read-modify-write, and
+        # the cotangent of the gathered attributes is this buffer verbatim.
+        off = pl.multiple_of(gstart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dbuf.at[slot],
             dattrs_ref.at[:, pl.ds(off, CHUNK)],
@@ -266,7 +284,7 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
             chunk, px, py, c * CHUNK, jnp.int32(0), cnt
         )
         one_minus = 1.0 - alpha
-        cum = _cumprod_incl(one_minus)
+        cum = _cumprod_incl(one_minus, tri)
         t_after = t_run * cum
         keep = t_after >= T_EPS
         t_before = t_run * _excl_from_incl_prod(cum)
@@ -277,7 +295,7 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
         a_dot = jax.lax.dot_general(
             dout, col, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (P, G)
-        q = q_run + _cumsum_incl(w * a_dot)                   # (P, G) inclusive
+        q = q_run + _cumsum_incl(w * a_dot, tri)              # (P, G) inclusive
         grad_mask = use & keep
         dalpha = jnp.where(
             grad_mask, a_dot * t_before - (b_tot - q) / one_minus, 0.0
@@ -360,20 +378,20 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, attrs_ref,
 # pallas_call wrappers + custom VJP
 # ----------------------------------------------------------------------------
 
-def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
+def _fwd_call(cfg: _Config, attrs, start, count, base, offx, offy):
     t_total = cfg.tiles_y * cfg.tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((1, NCH, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NA, CHUNK), jnp.float32),
@@ -381,32 +399,32 @@ def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg.tiles_x, cfg.aligned),
+        functools.partial(_fwd_kernel, cfg.tiles_x, cfg.grad_cap == 0),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_total, NCH, P), jnp.float32),
             jax.ShapeDtypeStruct((t_total * P, 1), jnp.float32),
         ],
         interpret=cfg.interpret,
-    )(start, count, attrs, offx, offy)
+    )(start, count, base, attrs, offx, offy)
 
 
-def _bwd_call(cfg: _Config, attrs, start, count, offx, offy, outres, tfin,
-              dout, dtfin):
+def _bwd_call(cfg: _Config, attrs, start, count, gstart, offx, offy, outres,
+              tfin, dout, dtfin):
     t_total = cfg.tiles_y * cfg.tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NCH, P), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NCH, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda t, s, c: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -419,32 +437,42 @@ def _bwd_call(cfg: _Config, attrs, start, count, offx, offy, outres, tfin,
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg.tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NA, cfg.cap_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NA, cfg.grad_cap), jnp.float32),
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(start, count, attrs, offx, offy, outres, tfin, dout, dtfin)
+    )(start, count, gstart, attrs, offx, offy, outres, tfin, dout, dtfin)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_composite(cfg: _Config):
-    @jax.custom_vjp
-    def composite(attrs, absd, start, count, offx, offy):
-        del absd
-        return _fwd_call(cfg, attrs, start, count, offx, offy)
+    """Differentiable composite over the materialized over-read layout.
 
-    def fwd(attrs, absd, start, count, offx, offy):
-        out, tfin = _fwd_call(cfg, attrs, start, count, offx, offy)
-        return (out, tfin), (attrs, start, count, offx, offy, out, tfin)
+    ``attrs``/``absd`` are gathered by binning.grad_gidx OUTSIDE this
+    boundary, so the forward read layout and the backward gradient buffer
+    are identical: the backward kernel's output IS the cotangent (rows
+    7/14/15 re-zeroed; 14:16 routed to the AbsGS dummy), and per-gaussian
+    accumulation happens in the gather's own transpose — the canonical
+    scatter-add XLA lowers well (hand-separated pickup gather + scatter
+    variants cost +16..+45 ms/step at 500k entries).
+    """
+    @jax.custom_vjp
+    def composite(attrs, absd, start, count, base, offx, offy):
+        del absd
+        return _fwd_call(cfg, attrs, start, count, base, offx, offy)
+
+    def fwd(attrs, absd, start, count, base, offx, offy):
+        out, tfin = _fwd_call(cfg, attrs, start, count, base, offx, offy)
+        return (out, tfin), (attrs, start, count, base, offx, offy, out, tfin)
 
     def bwd(res, cot):
-        attrs, start, count, offx, offy, out, tfin = res
+        attrs, start, count, base, offx, offy, out, tfin = res
         dout, dtfin = cot
-        dattrs = _bwd_call(cfg, attrs, start, count, offx, offy, out, tfin,
-                           dout, dtfin)
-        d_main = dattrs.at[14:, :].set(0.0).at[7, :].set(0.0)
-        d_abs = dattrs[14:16, :]
-        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-        return (d_main, d_abs, f0(start), f0(count),
+        dpadded = _bwd_call(cfg, attrs, start, count, base, offx, offy,
+                            out, tfin, dout, dtfin)        # (NA, grad_cap)
+        d_main = dpadded.at[14:, :].set(0.0).at[7, :].set(0.0)
+        d_abs = dpadded[14:16, :]
+        f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+        return (d_main, d_abs, f0(start), f0(count), f0(base),
                 jnp.zeros_like(offx), jnp.zeros_like(offy))
 
     composite.defvjp(fwd, bwd)
@@ -481,6 +509,7 @@ def composite_tiled(
     cap: Optional[int] = None,
     interpret: Optional[bool] = None,
     inference: bool = False,
+    radius_xy: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-binned differentiable composite.
 
@@ -503,15 +532,15 @@ def composite_tiled(
         cap = default_capacity(n)
     if interpret is None:
         interpret = _interpret_default()
-    aligned = not inference
-    cfg = _Config(tiles_y, tiles_x,
-                  cap + (t_total * CHUNK if aligned else CHUNK),
-                  interpret, aligned)
+    # Gradient/training buffer worst case: chunk rounding per tile.
+    cfg = _Config(tiles_y, tiles_x, cap + CHUNK, interpret,
+                  grad_cap=0 if inference else cap + t_total * CHUNK)
 
     binned = bin_gaussians(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(depth),
-        radius, height, width, cap=cap, chunk=CHUNK, align=aligned,
+        radius, height, width, cap=cap, chunk=CHUNK, align=not inference,
+        radius_xy=radius_xy,
     )
     gi = binned.gather_idx
 
@@ -522,11 +551,10 @@ def composite_tiled(
         axis=1,
     )
     attrs = jnp.pad(attrs, ((0, 1), (0, 0)))
-    attrs_sorted = attrs.T[:, gi]                            # (16, cap_pad)
 
     if mean2d_abs_dummy is None:
         mean2d_abs_dummy = jnp.zeros((n, 2), mean2d.dtype)
-    absd_sorted = jnp.pad(mean2d_abs_dummy, ((0, 1), (0, 0))).T[:, gi]
+    absd = jnp.pad(mean2d_abs_dummy, ((0, 1), (0, 0)))       # (N+1, 2)
 
     hp, wp = tiles_y * TILE, tiles_x * TILE
     if subpixel_offset is None:
@@ -546,14 +574,16 @@ def composite_tiled(
         offy = sp[:, 1:2]
 
     if inference:
-        # Forward-only fast path: no custom VJP, no AbsGS plumbing, no
-        # aligned re-layout (the kernel masks over-read entries).
-        out, tfin = _fwd_call(cfg, attrs_sorted, binned.tile_start,
-                              binned.tile_count, offx, offy)
+        # Forward-only fast path: no custom VJP, no AbsGS plumbing; the
+        # packed sorted layout is smaller than the training layout.
+        out, tfin = _fwd_call(cfg, attrs.T[:, gi], binned.tile_start,
+                              binned.tile_count, binned.read_base, offx, offy)
     else:
+        attrs_sorted = attrs.T[:, binned.grad_gidx]          # (16, grad_cap)
+        absd_sorted = absd.T[:, binned.grad_gidx]
         out, tfin = _make_composite(cfg)(
             attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
-            offx, offy,
+            binned.read_base, offx, offy,
         )                                                    # (T, 8, P), (T*P, 1)
 
     img = (

@@ -206,7 +206,8 @@ class Trainer:
                 proj = project_gaussians(
                     params.xyz, scales, params.rotation, opac, cam,
                     kernel_size=self.model_cfg.kernel_size, mask=alive)
-                return count_entries(proj.mean2d, proj.radius, h, w)
+                return count_entries(proj.mean2d, proj.radius, h, w,
+                                     radius_xy=proj.radius_xy)
             return jax.jit(f)
 
         worst = 0

@@ -101,10 +101,24 @@ class TestBinning:
         ty, tx = num_tiles(48, 64)
         assert binned.tile_start.shape == (ty * tx,)
         starts = np.asarray(binned.tile_start)
-        assert (starts % 256 == 0).all()
         counts = np.asarray(binned.tile_count)
+        # contiguous runs in sorted order
+        assert (starts[1:] == starts[:-1] + counts[:-1]).all()
         assert counts.sum() <= int(binned.num_entries)
         assert int(binned.overflow) == 0
+        # gradient/training layout: chunk-aligned exclusive regions sized to
+        # each tile's chunk-rounded run
+        gs = np.asarray(binned.grad_start)
+        assert (gs % 256 == 0).all()
+        padded = -(-counts // 256) * 256
+        assert (np.diff(gs) == padded[:-1]).all()
+        # slot -> gaussian map: tile t's live slots carry the same gaussians
+        # as its sorted run, in order
+        gg = np.asarray(binned.grad_gidx)
+        gi = np.asarray(binned.gather_idx)
+        for t in range(ty * tx):
+            s, c = int(starts[t]), int(counts[t])
+            np.testing.assert_array_equal(gg[gs[t]: gs[t] + c], gi[s:s + c])
 
     def test_depth_sorted_within_tile(self, rng):
         cam = make_test_camera(32, 32)
