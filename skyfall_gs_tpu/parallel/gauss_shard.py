@@ -101,6 +101,7 @@ def sharded_render_merge(
     g_channels = full[:, 7:14]
 
     radii_all = jax.lax.all_gather(proj.radius, axis).reshape(-1)
+    rxy_all = jax.lax.all_gather(proj.radius_xy, axis).reshape(-1, 2)
     visible = radii_all > 0
 
     edges = _depth_bin_edges(g_depth, visible, num_bins)
@@ -108,6 +109,7 @@ def sharded_render_merge(
     hi = edges[k + 1]
     in_bin = (g_depth >= lo) & (g_depth < hi)
     radii_bin = jnp.where(in_bin, radii_all, 0)
+    rxy_bin = jnp.where(in_bin[:, None], rxy_all, 0)
 
     absd = None
     if mean2d_abs_dummy is not None:
@@ -116,7 +118,7 @@ def sharded_render_merge(
     out_k, tfin_k, overflow_k = composite_tiled(
         g_mean2d, g_conic, g_depth, radii_bin, g_opac, g_channels,
         camera.height, camera.width,
-        mean2d_abs_dummy=absd, cap=bin_capacity,
+        mean2d_abs_dummy=absd, cap=bin_capacity, radius_xy=rxy_bin,
     )                                              # (H, W, 7), (H, W), ()
 
     # Exact depth-ordered merge across bins.
@@ -152,18 +154,19 @@ def make_gauss_sharded_train_step(
     """Build the jitted splat-sharded train step.
 
     The TrainState's per-splat leaves must be sharded along ``axis`` (use
-    :func:`shard_train_state`); camera/images are replicated.  Appearance
-    tables/MLP are not splat-indexed — appearance-enabled states are not
-    supported on this axis yet.
+    :func:`shard_train_state`); camera/images are replicated.  The
+    appearance model rides along: per-splat Fourier ``embeddings`` shard
+    with the splats, the camera table + MLP replicate, and their gradients
+    are ``psum``-reduced across shards (each shard only sees its own
+    splats' contribution).
 
     Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
     lambda_opacity) -> (state, StepMetrics).
     """
-    if template_state.model.params.appearance_embeddings is not None:
-        raise NotImplementedError(
-            "gaussian-sharded training does not support the appearance "
-            "model yet (camera-indexed tables are not splat-sharded)")
     num_bins = mesh.shape[axis]
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
 
     def local_step(state: TrainState, camera, gt_image, gt_mask, gt_depth,
                    bg, xyz_lr, lambda_opacity):
@@ -181,9 +184,19 @@ def make_gauss_sharded_train_step(
             opac = opacity_with_3d_filter(params, model.aux.filter_3d)
             dirs = params.xyz - camera.cam_center[None, :]
             dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+            if has_appearance:
+                from skyfall_gs_tpu.model.appearance import apply_appearance
+
+                emb_table = params.appearance_embeddings
+                uid = jnp.clip(camera.uid, 0, emb_table.shape[0] - 1)
+                toned = apply_appearance(
+                    params.appearance_mlp, params.embeddings,
+                    emb_table[uid], params.features)            # (n_loc, K, 3)
+                sh = jnp.swapaxes(toned, 1, 2)
+            else:
+                sh = jnp.swapaxes(params.features, 1, 2)
             colors = jnp.maximum(
-                eval_sh(model.active_sh_degree,
-                        jnp.swapaxes(params.features, 1, 2), dirs) + 0.5, 0.0)
+                eval_sh(model.active_sh_degree, sh, dirs) + 0.5, 0.0)
 
             color, depth_img, alpha, radii, overflow = sharded_render_merge(
                 params.xyz, scales, params.rotation, opac, colors,
@@ -217,6 +230,16 @@ def make_gauss_sharded_train_step(
         (loss, aux_out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
         gparams, gdummies = grads
+        if has_appearance:
+            # Replicated appearance leaves: each shard's backward only sees
+            # its own splats' contribution — sum for the true gradient (the
+            # Adam update then stays bitwise identical across shards).
+            gparams = gparams.replace(
+                appearance_mlp=jax.tree.map(
+                    lambda g: jax.lax.psum(g, axis), gparams.appearance_mlp),
+                appearance_embeddings=jax.lax.psum(
+                    gparams.appearance_embeddings, axis),
+            )
 
         new_aux = add_densification_stats(
             model.aux, gdummies[0], gdummies[1], aux_out["radii"],
@@ -239,10 +262,13 @@ def make_gauss_sharded_train_step(
         )
         return new_state, metrics
 
-    # Per-splat leaves (ndim >= 1, splat dim leading) shard on the axis;
-    # 0-D leaves (step, Adam count) replicate.
+    # Per-splat leaves (leading dim == capacity) shard on the axis; the
+    # appearance camera table / MLP and 0-D leaves (step, Adam count)
+    # replicate.
+    capacity = template_state.model.params.capacity
     state_spec = jax.tree.map(
-        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(),
+        lambda x: P(axis) if (getattr(x, "ndim", 0) >= 1
+                              and x.shape[0] == capacity) else P(),
         template_state)
 
     sharded = shard_map(
@@ -255,11 +281,14 @@ def make_gauss_sharded_train_step(
 
 
 def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
-    """Device-put a TrainState with per-splat leaves sharded along axis."""
+    """Device-put a TrainState with per-splat leaves sharded along axis
+    (appearance camera table / MLP replicate)."""
     from jax.sharding import NamedSharding
 
+    capacity = state.model.params.capacity
+
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 

@@ -373,6 +373,86 @@ class TestGaussianSharded:
                               override_color=colors, with_normals=False)
         assert float(jnp.max(jnp.abs(img_sharded - single.color))) < 5e-3
 
+    def test_matches_single_device_step_with_appearance(self, rng):
+        """The HBM-scaling axis covers the satellite default config: per-
+        splat Fourier embeddings shard, camera table + MLP replicate with
+        psum'd grads (VERDICT round-1 item 6)."""
+        from jax.sharding import Mesh
+        from skyfall_gs_tpu.model.appearance import AppearanceConfig
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.parallel.gauss_shard import (
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+        from skyfall_gs_tpu.train.step import init_train_state, make_train_step
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_test_camera
+
+        devs = jax.devices("cpu")
+        if len(devs) < 4:
+            pytest.skip("needs >= 4 cpu devices")
+        mesh = Mesh(np.array(devs[:4]), ("gauss",))
+
+        pts = rng.normal(0, 0.8, (48, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (48, 3)).astype(np.float32)
+        st = create_from_points(
+            pts, cols, capacity=64,
+            appearance=AppearanceConfig(enabled=True, n_fourier_freqs=2,
+                                        embedding_dim=8, hidden=16),
+            num_cameras=4)
+        st = st.replace(active_sh_degree=1,
+                        aux=st.aux.replace(filter_3d=jnp.full(64, 0.05)))
+        ts = init_train_state(st)
+
+        cam = make_test_camera(32, 32)
+        gt = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)), jnp.float32)
+        mask = jnp.ones((32, 32))
+        depth = jnp.asarray(rng.uniform(1, 5, (32, 32)), jnp.float32)
+        bg = jnp.zeros(3)
+        from skyfall_gs_tpu.config import OptimizationConfig
+
+        cfg = OptimizationConfig()
+        step1 = make_train_step(cfg, use_depth=True)
+        ts1, m1 = step1(ts, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        stepN = make_gauss_sharded_train_step(mesh, cfg, ts, use_depth=True)
+        tsS = shard_train_state(ts, mesh, "gauss")
+        # the camera table and MLP replicate, splat leaves shard
+        assert tsS.model.params.appearance_embeddings.addressable_shards[
+            0].data.shape == ts.model.params.appearance_embeddings.shape
+        assert tsS.model.params.embeddings.addressable_shards[
+            0].data.shape == (16, ts.model.params.embeddings.shape[1])
+        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg,
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        assert float(abs(mN.loss - m1.loss)) < 2e-3
+        u1 = np.asarray(ts1.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        uN = np.asarray(tsN.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        active = np.abs(u1) > 0
+        assert (np.sign(u1[active]) == np.sign(uN[active])).mean() > 0.9
+        # appearance updates agree too (replicated leaves, psum'd grads)
+        a1 = (np.asarray(ts1.model.params.appearance_embeddings)
+              - np.asarray(ts.model.params.appearance_embeddings))
+        aN = (np.asarray(tsN.model.params.appearance_embeddings)
+              - np.asarray(ts.model.params.appearance_embeddings))
+        act = np.abs(a1) > 1e-12
+        if act.any():
+            assert (np.sign(a1[act]) == np.sign(aN[act])).mean() > 0.9
+        m1w = jax.tree.leaves(ts1.model.params.appearance_mlp)
+        mNw = jax.tree.leaves(tsN.model.params.appearance_mlp)
+        m0w = jax.tree.leaves(ts.model.params.appearance_mlp)
+        moved = sum(float(np.abs(np.asarray(a) - np.asarray(c)).max())
+                    for a, c in zip(m1w, m0w))
+        assert moved > 0  # the MLP actually trains
+        for a, b, c in zip(m1w, mNw, m0w):
+            da = np.asarray(a) - np.asarray(c)
+            db = np.asarray(b) - np.asarray(c)
+            act = np.abs(da) > 1e-12
+            if act.any():
+                assert (np.sign(da[act]) == np.sign(db[act])).mean() > 0.85
+
     def test_sharded_memory_layout(self, rng):
         from jax.sharding import Mesh
         from skyfall_gs_tpu.model.gaussians import create_from_points
