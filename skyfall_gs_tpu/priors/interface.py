@@ -74,6 +74,14 @@ class RenderDepthPredictor:
 
 
 def _flowedit_factory(**kwargs):
+    # FLUX-backed construction (reference train.py:448-460) when weights or
+    # parameter pytrees are supplied; otherwise the raw refiner (injected
+    # velocity field, or a clear no-weights error).
+    if any(k in kwargs for k in
+           ("checkpoint_path", "transformer_params", "vae_params")):
+        from skyfall_gs_tpu.priors.flux_refiner import build_flux_refiner
+
+        return build_flux_refiner(**kwargs)
     from skyfall_gs_tpu.priors.flowedit import FlowEditRefiner
 
     return FlowEditRefiner(**kwargs)
