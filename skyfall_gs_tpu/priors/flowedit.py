@@ -7,26 +7,32 @@ pseudo-ground-truth, with knobs n_min / n_max / n_max_end / n_avg
 (arguments/__init__.py:267-274).
 
 Architecture here:
-  * :func:`flow_edit_ode` — the FlowEdit sampling loop itself, as a pure
-    jittable ``lax.scan`` over timesteps.  It only needs a velocity field
-    ``v(z, t, cond) -> dz/dt``; any flow-matching model plugs in.
+  * :func:`flow_edit_ode` — the FlowEdit sampling loop on one latent, as a
+    pure jittable ``lax.scan`` over timesteps.
+  * :func:`flow_edit_ode_batch` — the production path: one fixed-length
+    scan over a stacked frame batch, with the per-image editing window
+    (the reference's n_max -> n_max_end annealing across the orbit set)
+    applied as a data-dependent mask.  One jit signature covers a whole
+    episode regardless of per-image n_max — no per-image recompiles
+    (remote TPU compiles are 30-90 s, so per-image signatures would be
+    unusable).
   * :class:`FlowEditRefiner` — the IDU-facing backend: encodes frames to
-    latents, runs the ODE with source/target conditioning, decodes.  The
-    FLUX backbone requires local pretrained weights (this machine has no
-    network egress); constructing it without weights raises a clear error,
-    and any (encode, decode, velocity) triple can be injected instead —
-    the tests drive the full loop with a toy linear flow.
+    latents, runs the batched ODE with source/target conditioning,
+    decodes.  Construct it via priors/flux_refiner.py for the real FLUX
+    backbone, or inject any (encode, decode, velocity) triple — the tests
+    drive the full loop with a toy linear flow.
 
 FlowEdit recurrence (paper Alg. 1, rectified-flow form):
     t_k:            decreasing timesteps indexed n_max -> n_min
     z_src_t  = (1 - t) x_src + t eps              (eps ~ N(0, I), n_avg draws)
-    z_tar_t  = z_edit + (z_src_t - x_src_partial)
+    z_tar_t  = z_edit + (z_src_t - x_src)
     dv       = v(z_tar_t, t, c_tar) - v(z_src_t, t, c_src)   (averaged)
     z_edit  <- z_edit + (t_{k+1} - t_k) * dv
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -45,6 +51,7 @@ def flow_edit_ode(
     n_min: int = 0,
     n_max: int = 15,
     n_avg: int = 1,
+    sigmas: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the FlowEdit ODE on one latent.
 
@@ -56,12 +63,14 @@ def flow_edit_ode(
         n_min/n_max: FlowEdit editing window — the loop runs over the
             timesteps indexed [num_steps - n_max, num_steps - n_min).
         n_avg: noise draws averaged per step.
+        sigmas: optional (num_steps + 1,) decreasing sigma grid overriding
+            the uniform linspace (e.g. the FLUX shifted schedule).
 
     Returns:
         edited latent, same shape as x_src.
     """
-    # Decreasing sigma grid (rectified flow: z_t = (1-t) x + t eps).
-    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+    ts = (jnp.linspace(1.0, 0.0, num_steps + 1) if sigmas is None
+          else jnp.asarray(sigmas))
     start = num_steps - n_max
     stop = num_steps - n_min
     idxs = jnp.arange(start, stop)
@@ -89,13 +98,80 @@ def flow_edit_ode(
     return z_final
 
 
+@functools.partial(
+    jax.jit, static_argnames=("velocity_fn", "num_steps", "n_min", "n_max",
+                              "n_avg"))
+def flow_edit_ode_batch(
+    velocity_fn: Callable,
+    x_src: jnp.ndarray,
+    src_cond,
+    tar_cond,
+    rng: jax.Array,
+    n_max_per_image: jnp.ndarray,
+    num_steps: int = 28,
+    n_min: int = 0,
+    n_max: int = 15,
+    n_avg: int = 1,
+    sigmas: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batched FlowEdit with per-image editing windows, one jit signature.
+
+    The scan has static length ``n_max - n_min`` (n_max is the episode
+    config constant — the widest window).  Image i only advances on steps
+    with ``k >= num_steps - n_max_per_image[i]``; until then its z_edit
+    stays equal to x_src, which is exactly the state a shorter-window run
+    would start from, so masking is exact (not an approximation).
+
+    Args:
+        x_src: (B, ...) stacked source latents.
+        velocity_fn: batched field v(z (B, ...), t_scalar, cond) -> (B, ...).
+        n_max_per_image: (B,) int32 per-image window sizes <= n_max.
+
+    Returns:
+        (B, ...) edited latents.
+    """
+    b = x_src.shape[0]
+    ts = (jnp.linspace(1.0, 0.0, num_steps + 1) if sigmas is None
+          else jnp.asarray(sigmas))
+    start = num_steps - n_max
+    stop = num_steps - n_min
+    idxs = jnp.arange(start, stop)
+    keys = jax.random.split(rng, stop - start)
+    bshape = (b,) + (1,) * (x_src.ndim - 1)
+
+    def step(z_edit, inp):
+        k, key = inp
+        t = ts[k]
+        t_next = ts[k + 1]
+        active = (k >= num_steps - n_max_per_image).astype(x_src.dtype)
+
+        def one_draw(key_i):
+            eps = jax.random.normal(key_i, x_src.shape, x_src.dtype)
+            z_src_t = (1.0 - t) * x_src + t * eps
+            z_tar_t = z_edit + (z_src_t - x_src)
+            v_src = velocity_fn(z_src_t, t, src_cond)
+            v_tar = velocity_fn(z_tar_t, t, tar_cond)
+            return v_tar - v_src
+
+        dv = jnp.mean(
+            jnp.stack([one_draw(k_i) for k_i in jax.random.split(key, n_avg)]),
+            axis=0)
+        z_edit = z_edit + active.reshape(bshape) * (t_next - t) * dv
+        return z_edit, None
+
+    z_final, _ = jax.lax.scan(step, x_src, (idxs, keys))
+    return z_final
+
+
 class FlowEditRefiner:
     """IDU refine backend running FlowEdit over a flow-matching backbone.
 
     Interface parity with the reference FlowEditRefineIDU:
         run(images, n_min, n_max, n_max_end, n_avg) -> refined images.
     ``n_max_end >= 0`` linearly anneals the per-image n_max from ``n_max``
-    to ``n_max_end`` across the batch (the reference's episode annealing).
+    to ``n_max_end`` across the batch (the reference's episode annealing);
+    annealing is data (a mask), not a shape — the whole orbit set runs in
+    batches under a single jit signature.
     """
 
     def __init__(
@@ -109,17 +185,21 @@ class FlowEditRefiner:
         tar_cond=None,
         num_steps: int = 28,
         seed: int = 0,
+        batch_size: int = 8,
+        sigmas=None,
     ):
         self.save_path = save_path
         self.num_steps = num_steps
+        self.batch_size = batch_size
+        self.sigmas = sigmas
         self.rng = jax.random.PRNGKey(seed)
         if velocity_fn is None:
             raise RuntimeError(
                 f"No local {model_type} flow-matching weights are available "
                 "in this environment (no network egress), and no velocity_fn "
-                "was injected. Provide (encode_fn, decode_fn, velocity_fn, "
-                "src_cond, tar_cond) to use FlowEdit, or use the 'identity' "
-                "refiner.")
+                "was injected. Build one with "
+                "skyfall_gs_tpu.priors.flux_refiner.build_flux_refiner"
+                "(checkpoint_path=...), or use the 'identity' refiner.")
         self.encode = encode_fn if encode_fn is not None else (lambda x: x)
         self.decode = decode_fn if decode_fn is not None else (lambda z: z)
         self.velocity_fn = velocity_fn
@@ -129,17 +209,32 @@ class FlowEditRefiner:
     def run(self, images: Sequence[np.ndarray], n_min: int = 0,
             n_max: int = 15, n_max_end: int = -1, n_avg: int = 1,
             **_) -> List[np.ndarray]:
-        out = []
         n = len(images)
-        for i, img in enumerate(images):
-            if n_max_end >= 0 and n > 1:
-                nm = int(round(n_max + (n_max_end - n_max) * i / (n - 1)))
-            else:
-                nm = n_max
+        if n == 0:
+            return []
+        # Reference annealing: linear n_max -> n_max_end across the set.
+        if n_max_end >= 0 and n > 1:
+            nms = [int(round(n_max + (n_max_end - n_max) * i / (n - 1)))
+                   for i in range(n)]
+        else:
+            nms = [n_max] * n
+
+        out: List[np.ndarray] = []
+        for i in range(0, n, self.batch_size):
+            batch = images[i:i + self.batch_size]
+            nm = jnp.asarray(nms[i:i + self.batch_size], jnp.int32)
+            # Pad the tail batch to the full batch size so the episode uses
+            # exactly one jit signature (padding images are masked inactive).
+            pad = self.batch_size - len(batch) if i + self.batch_size > n else 0
+            if pad:
+                batch = list(batch) + [batch[-1]] * pad
+                nm = jnp.concatenate([nm, jnp.zeros(pad, jnp.int32)])
             self.rng, k = jax.random.split(self.rng)
-            z = self.encode(jnp.asarray(img))
-            z2 = flow_edit_ode(self.velocity_fn, z, self.src_cond,
-                               self.tar_cond, k, self.num_steps,
-                               n_min=n_min, n_max=nm, n_avg=n_avg)
-            out.append(np.asarray(self.decode(z2)))
+            z = self.encode(jnp.stack([jnp.asarray(im) for im in batch]))
+            z2 = flow_edit_ode_batch(
+                self.velocity_fn, z, self.src_cond, self.tar_cond, k, nm,
+                num_steps=self.num_steps, n_min=n_min, n_max=n_max,
+                n_avg=n_avg, sigmas=self.sigmas)
+            dec = np.asarray(self.decode(z2))
+            out.extend(dec[: len(dec) - pad if pad else len(dec)])
         return out

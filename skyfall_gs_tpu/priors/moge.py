@@ -85,21 +85,28 @@ def init_vit_params(key, cfg: ViTConfig = ViTConfig()):
             "ls1": jnp.ones(d),   # DINOv2 LayerScale
             "ls2": jnp.ones(d),
         })
-    # DPT-style head: per-tap 1x1 projections + fusion convs + output.
-    head = {"taps": [], "fuse": [], "out1": None, "out2": None}
+    # MoGe-style dense head (reference train.py:495-502 uses the MoGe
+    # submodule, whose checkout is empty upstream — the module layout here
+    # mirrors the MoGe head: per-tap 1x1 ``projects``, per-level fusion
+    # ``upsample_blocks``, and an ``output_block`` emitting a 4-channel
+    # (point xyz + mask) map).
+    head = {"projects": [], "upsample_blocks": [],
+            "output_block": {"conv1": None, "conv2": None}}
     hw = cfg.head_width
     for _ in cfg.out_layers:
-        head["taps"].append({
+        head["projects"].append({
             "w": jax.random.normal(next(ki), (1, 1, d, hw)) * 0.02,
             "b": jnp.zeros(hw)})
     for _ in cfg.out_layers:
-        head["fuse"].append({
+        head["upsample_blocks"].append({
             "w": jax.random.normal(next(ki), (3, 3, hw, hw)) * 0.02,
             "b": jnp.zeros(hw)})
-    head["out1"] = {"w": jax.random.normal(next(ki), (3, 3, hw, hw // 2)) * 0.02,
-                    "b": jnp.zeros(hw // 2)}
-    head["out2"] = {"w": jax.random.normal(next(ki), (1, 1, hw // 2, 1)) * 0.02,
-                    "b": jnp.zeros(1)}
+    head["output_block"]["conv1"] = {
+        "w": jax.random.normal(next(ki), (3, 3, hw, hw // 2)) * 0.02,
+        "b": jnp.zeros(hw // 2)}
+    head["output_block"]["conv2"] = {
+        "w": jax.random.normal(next(ki), (1, 1, hw // 2, 4)) * 0.02,
+        "b": jnp.zeros(4)}
     params["head"] = head
     return params
 
@@ -181,8 +188,12 @@ def _conv(x, p, stride=1):
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
 
 
-def moge_depth(params, images, cfg: ViTConfig = ViTConfig()):
-    """(B, H, W, 3) float [0,1] -> (B, H, W) positive relative depth."""
+def moge_points(params, images, cfg: ViTConfig = ViTConfig()):
+    """(B, H, W, 3) float [0,1] -> ((B, H, W, 3) point map, (B, H, W) mask).
+
+    Affine-invariant point map (MoGe's native output) with a validity mask;
+    the z component is the relative depth the Pearson losses consume.
+    """
     b, h, w, _ = images.shape
     mean = jnp.asarray([0.485, 0.456, 0.406])
     std = jnp.asarray([0.229, 0.224, 0.225])
@@ -194,8 +205,8 @@ def moge_depth(params, images, cfg: ViTConfig = ViTConfig()):
     # fuse deepest-to-shallowest with progressive 2x upsampling; each tap is
     # resized to the running feature resolution before injection (DPT-style
     # reassembly collapsed onto the ViT's single-grid features).
-    for tap, tp, fp in zip(reversed(taps), reversed(head["taps"]),
-                           reversed(head["fuse"])):
+    for tap, tp, fp in zip(reversed(taps), reversed(head["projects"]),
+                           reversed(head["upsample_blocks"])):
         t = _conv(tap, tp)
         if feat is None:
             feat = t
@@ -206,10 +217,20 @@ def moge_depth(params, images, cfg: ViTConfig = ViTConfig()):
         bh, bw = feat.shape[1] * 2, feat.shape[2] * 2
         feat = jax.image.resize(feat, (b, bh, bw, feat.shape[-1]),
                                 method="bilinear")
-    feat = jax.nn.relu(_conv(feat, head["out1"]))
-    raw = _conv(feat, head["out2"])[..., 0]
-    depth = jax.nn.softplus(raw)
-    return jax.image.resize(depth, (b, h, w), method="bilinear")
+    ob = head["output_block"]
+    feat = jax.nn.relu(_conv(feat, ob["conv1"]))
+    raw = _conv(feat, ob["conv2"])
+    raw = jax.image.resize(raw, (b, h, w, raw.shape[-1]), method="bilinear")
+    pts = jnp.concatenate(
+        [raw[..., :2], jax.nn.softplus(raw[..., 2:3])], axis=-1)
+    mask = jax.nn.sigmoid(raw[..., 3])
+    return pts, mask
+
+
+def moge_depth(params, images, cfg: ViTConfig = ViTConfig()):
+    """(B, H, W, 3) float [0,1] -> (B, H, W) positive relative depth."""
+    pts, _ = moge_points(params, images, cfg)
+    return pts[..., 2]
 
 
 # ----------------------------------------------------------------------------
@@ -217,30 +238,45 @@ def moge_depth(params, images, cfg: ViTConfig = ViTConfig()):
 # ----------------------------------------------------------------------------
 
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
-                             cfg: ViTConfig = ViTConfig()):
-    """Map a torch DINOv2-style encoder state dict into the ViT pytree.
+                             cfg: ViTConfig = ViTConfig(),
+                             allow_partial_head: bool = False):
+    """Map a torch MoGe / DINOv2 checkpoint into the parameter pytree.
 
-    Expected torch names (DINOv2 / MoGe encoder): patch_embed.proj.{weight,
-    bias}, cls_token, pos_embed, blocks.{i}.norm1/attn.qkv/attn.proj/norm2/
-    mlp.fc1/mlp.fc2/ls1.gamma/ls2.gamma, norm.{weight,bias}.  Head weights
-    are model-specific and left random unless matching keys are present.
+    Accepted layouts (reference train.py:495-502 loads the MoGe submodule's
+    checkpoint; its checkout is empty upstream, so the schema below is the
+    MoGe module layout reconstructed from its public release):
+
+      * real MoGe checkpoints: encoder under ``backbone.*`` (DINOv2 names)
+        plus ``head.projects.{i}``, ``head.upsample_blocks.{i}`` and
+        ``head.output_block`` (Sequential indices or bare convs);
+      * bare DINOv2 encoders (no ``backbone.`` prefix, no head) — only
+        valid with ``allow_partial_head=True``, which keeps the random
+        head (useful for distillation, not for inference).
+
+    An optional ``model.`` wrapper prefix is stripped.  Missing keys raise
+    KeyError — nothing is silently left random.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    if any(k.startswith("model.") for k in sd):
+        sd = {(k[6:] if k.startswith("model.") else k): v
+              for k, v in sd.items()}
+    bb = "backbone." if any(k.startswith("backbone.") for k in sd) else ""
     params = init_vit_params(jax.random.PRNGKey(0), cfg)
 
     def lin(prefix):
         return {"w": jnp.asarray(sd[prefix + ".weight"].T),
                 "b": jnp.asarray(sd[prefix + ".bias"])}
 
-    params["patch_embed"] = {
-        # torch conv (D, 3, P, P) -> HWIO
-        "w": jnp.asarray(sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0)),
-        "b": jnp.asarray(sd["patch_embed.proj.bias"]),
-    }
-    params["cls_token"] = jnp.asarray(sd["cls_token"])
-    params["pos_embed"] = jnp.asarray(sd["pos_embed"])
+    def conv_hwio(prefix):
+        # torch conv (O, I, kh, kw) -> HWIO
+        return {"w": jnp.asarray(sd[prefix + ".weight"].transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(sd[prefix + ".bias"])}
+
+    params["patch_embed"] = conv_hwio(f"{bb}patch_embed.proj")
+    params["cls_token"] = jnp.asarray(sd[f"{bb}cls_token"])
+    params["pos_embed"] = jnp.asarray(sd[f"{bb}pos_embed"])
     for i in range(cfg.depth):
-        p = f"blocks.{i}"
+        p = f"{bb}blocks.{i}"
         params["blocks"][i] = {
             "ln1": {"scale": jnp.asarray(sd[f"{p}.norm1.weight"]),
                     "bias": jnp.asarray(sd[f"{p}.norm1.bias"])},
@@ -253,8 +289,36 @@ def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"],
             "ls1": jnp.asarray(sd.get(f"{p}.ls1.gamma", np.ones(cfg.width))),
             "ls2": jnp.asarray(sd.get(f"{p}.ls2.gamma", np.ones(cfg.width))),
         }
-    params["norm"] = {"scale": jnp.asarray(sd["norm.weight"]),
-                      "bias": jnp.asarray(sd["norm.bias"])}
+    params["norm"] = {"scale": jnp.asarray(sd[f"{bb}norm.weight"]),
+                      "bias": jnp.asarray(sd[f"{bb}norm.bias"])}
+
+    def head_conv(prefix):
+        # Sequential index ("...0.weight") or bare conv ("...weight").
+        if prefix + ".weight" in sd:
+            return conv_hwio(prefix)
+        return conv_hwio(prefix + ".0")
+
+    if any(k.startswith("head.") for k in sd):
+        head = params["head"]
+        for i in range(len(cfg.out_layers)):
+            head["projects"][i] = head_conv(f"head.projects.{i}")
+            head["upsample_blocks"][i] = head_conv(f"head.upsample_blocks.{i}")
+        ob_keys = sorted(
+            {k.split(".")[2] for k in sd if k.startswith("head.output_block.")
+             and k.endswith(".weight")}, key=int)
+        if len(ob_keys) < 2:
+            raise KeyError(
+                f"head.output_block has {len(ob_keys)} conv(s); expected 2 "
+                "(3x3 + 1x1)")
+        head["output_block"]["conv1"] = conv_hwio(
+            f"head.output_block.{ob_keys[0]}")
+        head["output_block"]["conv2"] = conv_hwio(
+            f"head.output_block.{ob_keys[-1]}")
+    elif not allow_partial_head:
+        raise KeyError(
+            "checkpoint contains no head.* keys — a bare encoder cannot "
+            "predict depth. Pass allow_partial_head=True to keep a "
+            "random-initialized head (distillation only).")
     return params
 
 
@@ -284,11 +348,22 @@ class MoGePredictor:
                 "or use the 'render' depth backend.")
         self._jitted = jax.jit(lambda imgs: moge_depth(self.params, imgs, cfg))
 
+    def _target_hw(self, img: np.ndarray) -> tuple:
+        """Aspect-preserving inference size: ~img_size^2 pixels, each side a
+        patch multiple.  The ViT handles arbitrary grids via pos-emb resize,
+        so non-square frames keep their aspect instead of being squashed."""
+        h, w = np.asarray(img).shape[:2]
+        ps = self.cfg.patch_size
+        scale = self.cfg.img_size / math.sqrt(h * w)
+        th = max(ps, int(round(h * scale / ps)) * ps)
+        tw = max(ps, int(round(w * scale / ps)) * ps)
+        return th, tw
+
     def _prep(self, img: np.ndarray) -> np.ndarray:
         import cv2
 
-        side = self.cfg.img_size
-        return cv2.resize(np.asarray(img, np.float32), (side, side),
+        th, tw = self._target_hw(img)
+        return cv2.resize(np.asarray(img, np.float32), (tw, th),
                           interpolation=cv2.INTER_AREA)
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
@@ -298,13 +373,20 @@ class MoGePredictor:
             **_) -> List[np.ndarray]:
         import cv2
 
-        out: List[np.ndarray] = []
-        for i in range(0, len(images), batch_size):
-            batch = images[i:i + batch_size]
-            inp = jnp.asarray(np.stack([self._prep(im) for im in batch]))
-            depths = np.asarray(self._jitted(inp))
-            for im, d in zip(batch, depths):
-                h, w = np.asarray(im).shape[:2]
-                out.append(cv2.resize(d, (w, h),
-                                      interpolation=cv2.INTER_LINEAR))
-        return out
+        # Group consecutive frames by prepped shape so each jit signature
+        # sees a full batch (orbit sets are uniform -> one signature).
+        out: List[Optional[np.ndarray]] = [None] * len(images)
+        groups: Dict[tuple, List[int]] = {}
+        for i, im in enumerate(images):
+            groups.setdefault(self._target_hw(im), []).append(i)
+        for _, idxs in groups.items():
+            for j in range(0, len(idxs), batch_size):
+                sel = idxs[j:j + batch_size]
+                inp = jnp.asarray(
+                    np.stack([self._prep(images[i]) for i in sel]))
+                depths = np.asarray(self._jitted(inp))
+                for i, d in zip(sel, depths):
+                    h, w = np.asarray(images[i]).shape[:2]
+                    out[i] = cv2.resize(d, (w, h),
+                                        interpolation=cv2.INTER_LINEAR)
+        return out  # type: ignore[return-value]

@@ -149,8 +149,11 @@ class TestTorchConversion:
                 f"{p}.ls1.gamma": torch.ones(d),
                 f"{p}.ls2.gamma": torch.ones(d),
             })
-        params = convert_torch_state_dict(
-            {k: v.numpy() for k, v in sd.items()}, cfg)
+        npsd = {k: v.numpy() for k, v in sd.items()}
+        # a bare encoder (no head) must not silently keep a random head
+        with pytest.raises(KeyError, match="head"):
+            convert_torch_state_dict(npsd, cfg)
+        params = convert_torch_state_dict(npsd, cfg, allow_partial_head=True)
         img = jnp.asarray(rng.uniform(size=(1, 28, 28, 3)).astype(np.float32))
         depth = moge_depth(params, img, cfg)
         assert depth.shape == (1, 28, 28)
@@ -159,3 +162,92 @@ class TestTorchConversion:
         np.testing.assert_allclose(
             np.asarray(params["blocks"][0]["qkv"]["w"]),
             sd["blocks.0.attn.qkv.weight"].numpy().T, atol=1e-7)
+
+    def test_convert_full_moge_schema(self, rng):
+        """A name-faithful MoGe checkpoint (backbone.* encoder + head.*)
+        converts with zero random leaves (VERDICT round-1 item 4)."""
+        import torch
+
+        from skyfall_gs_tpu.priors.moge import (
+            ViTConfig,
+            convert_torch_state_dict,
+            moge_depth,
+            moge_points,
+        )
+
+        cfg = ViTConfig(patch_size=14, width=32, depth=2, heads=4,
+                        img_size=28, out_layers=(0, 1), head_width=16)
+        d, hidden, hw = cfg.width, int(cfg.width * cfg.mlp_ratio), cfg.head_width
+        MAGIC = 0.25
+
+        def full(*shape):
+            return torch.full(shape, MAGIC)
+
+        sd = {
+            "backbone.patch_embed.proj.weight": full(d, 3, 14, 14),
+            "backbone.patch_embed.proj.bias": torch.zeros(d),
+            "backbone.cls_token": full(1, 1, d),
+            "backbone.pos_embed": full(1, 5, d),
+            "backbone.norm.weight": torch.ones(d),
+            "backbone.norm.bias": torch.zeros(d),
+        }
+        for i in range(cfg.depth):
+            p = f"backbone.blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": torch.ones(d),
+                f"{p}.norm1.bias": torch.zeros(d),
+                f"{p}.attn.qkv.weight": full(3 * d, d),
+                f"{p}.attn.qkv.bias": torch.zeros(3 * d),
+                f"{p}.attn.proj.weight": full(d, d),
+                f"{p}.attn.proj.bias": torch.zeros(d),
+                f"{p}.norm2.weight": torch.ones(d),
+                f"{p}.norm2.bias": torch.zeros(d),
+                f"{p}.mlp.fc1.weight": full(hidden, d),
+                f"{p}.mlp.fc1.bias": torch.zeros(hidden),
+                f"{p}.mlp.fc2.weight": full(d, hidden),
+                f"{p}.mlp.fc2.bias": torch.zeros(d),
+                f"{p}.ls1.gamma": torch.ones(d),
+                f"{p}.ls2.gamma": torch.ones(d),
+            })
+        for i in range(len(cfg.out_layers)):
+            sd[f"head.projects.{i}.weight"] = full(hw, d, 1, 1)
+            sd[f"head.projects.{i}.bias"] = torch.zeros(hw)
+            sd[f"head.upsample_blocks.{i}.0.weight"] = full(hw, hw, 3, 3)
+            sd[f"head.upsample_blocks.{i}.0.bias"] = torch.zeros(hw)
+        sd["head.output_block.0.weight"] = full(hw // 2, hw, 3, 3)
+        sd["head.output_block.0.bias"] = torch.zeros(hw // 2)
+        sd["head.output_block.2.weight"] = full(4, hw // 2, 1, 1)
+        sd["head.output_block.2.bias"] = torch.zeros(4)
+
+        params = convert_torch_state_dict(
+            {k: v.numpy() for k, v in sd.items()}, cfg)
+        leaves = jax.tree.leaves(params)
+        assert all(
+            bool(jnp.all((l == MAGIC) | (l == 0.0) | (l == 1.0)))
+            for l in leaves), "random-initialized leaves survived conversion"
+        img = jnp.zeros((1, 28, 28, 3))
+        pts, mask = moge_points(params, img, cfg)
+        assert pts.shape == (1, 28, 28, 3) and mask.shape == (1, 28, 28)
+        assert moge_depth(params, img, cfg).shape == (1, 28, 28)
+        # the 'model.' wrapper prefix is stripped too
+        params2 = convert_torch_state_dict(
+            {"model." + k: v.numpy() for k, v in sd.items()}, cfg)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(params2)[0]),
+            np.asarray(jax.tree.leaves(params)[0]))
+
+    def test_predictor_keeps_aspect(self, rng):
+        """Non-square frames are prepped aspect-preserving (not squashed)."""
+        from skyfall_gs_tpu.priors.moge import MoGePredictor, ViTConfig
+
+        cfg = ViTConfig(patch_size=14, width=64, depth=2, heads=4,
+                        img_size=56, out_layers=(0, 1), head_width=32)
+        params = init_vit_params(jax.random.PRNGKey(0), cfg)
+        pred = MoGePredictor(cfg=cfg, params=params)
+        th, tw = pred._target_hw(np.zeros((100, 400, 3), np.float32))
+        assert th % 14 == 0 and tw % 14 == 0
+        assert tw > th  # aspect preserved
+        out = pred.run([rng.uniform(size=(100, 400, 3)).astype(np.float32),
+                        rng.uniform(size=(60, 60, 3)).astype(np.float32)])
+        assert out[0].shape == (100, 400)
+        assert out[1].shape == (60, 60)
