@@ -63,6 +63,13 @@ def main(argv=None) -> None:
         parser.error("--source_path/-s and --model_path/-m are required")
 
     seed_everything(args.seed)
+
+    # Multi-host pods: joins the jax.distributed runtime when the
+    # SKYFALL_COORDINATOR/... environment is set (parallel/mesh.py emits it
+    # per host); a silent no-op for single-process runs.
+    from skyfall_gs_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
     save_config(model_cfg.model_path, model_cfg, pipe_cfg, opt_cfg)
 
     from skyfall_gs_tpu.io.scene import load_scene

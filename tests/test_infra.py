@@ -165,3 +165,81 @@ class TestNative:
         d, _ = cKDTree(pts).query(pts, k=4, workers=-1)
         b = np.mean(d[:, 1:] ** 2, axis=1)
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestMultiHost:
+    """Multi-host bootstrap (SURVEY §5.8): env plumbing + a real two-process
+    jax.distributed pod over local TCP (DCN-style env vars)."""
+
+    def test_slot_envs(self):
+        from skyfall_gs_tpu.parallel.mesh import (
+            ENV_COORDINATOR, ENV_NUM_PROCESSES, ENV_PROCESS_ID,
+            multihost_slot_envs)
+
+        envs = multihost_slot_envs(["host-a", "host-b", "host-c"], 9000)
+        assert len(envs) == 3
+        for i, e in enumerate(envs):
+            assert e[ENV_COORDINATOR] == "host-a:9000"
+            assert e[ENV_NUM_PROCESSES] == "3"
+            assert e[ENV_PROCESS_ID] == str(i)
+
+    def test_single_process_noop(self, monkeypatch):
+        from skyfall_gs_tpu.parallel import mesh
+
+        monkeypatch.delenv(mesh.ENV_COORDINATOR, raising=False)
+        assert mesh.initialize_distributed() is False
+        # configured but single process: still a no-op
+        monkeypatch.setenv(mesh.ENV_COORDINATOR, "localhost:1")
+        monkeypatch.setenv(mesh.ENV_NUM_PROCESSES, "1")
+        assert mesh.initialize_distributed() is False
+
+    def test_two_process_pod(self, tmp_path):
+        """Two local processes join one pod: each sees the pod-global CPU
+        device set (2 local + 2 remote) after initialize_distributed()."""
+        import subprocess
+        import sys
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(
+            "import os, sys\n"
+            "pid, port = int(sys.argv[1]), sys.argv[2]\n"
+            "os.environ['SKYFALL_COORDINATOR'] = f'127.0.0.1:{port}'\n"
+            "os.environ['SKYFALL_NUM_PROCESSES'] = '2'\n"
+            "os.environ['SKYFALL_PROCESS_ID'] = str(pid)\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "os.environ['XLA_FLAGS'] = "
+            "'--xla_force_host_platform_device_count=2'\n"
+            "os.environ['JAX_CPU_COLLECTIVES_IMPLEMENTATION'] = 'gloo'\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+            "from skyfall_gs_tpu.parallel.mesh import initialize_distributed\n"
+            "import jax\n"
+            "assert initialize_distributed()\n"
+            "assert jax.process_count('cpu') == 2\n"
+            "assert len(jax.devices('cpu')) == 4\n"
+            "assert len(jax.local_devices(backend='cpu')) == 2\n"
+            "from jax.experimental import multihost_utils\n"
+            "multihost_utils.sync_global_devices('pod-smoke')\n"
+            "print(f'proc {pid} OK', flush=True)\n"
+            # jax.distributed.shutdown() can hang on heartbeat teardown for
+            # short-lived pods; the bootstrap itself is what's under test.
+            "os._exit(0)\n")
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("SKYFALL_", "JAX_", "XLA_"))}
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=120)
+                outs.append(out.decode())
+        finally:
+            for p in procs:
+                p.kill()
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert f"proc {i} OK" in out, out
