@@ -4,29 +4,36 @@ TPU re-design of the CUDA rasterizer's duplicateWithKeys/radix-sort stage.
 There are no atomics on TPU, so instead of per-tile atomic counters we:
 
   1. compute each splat's tile rectangle and touched-tile count,
-  2. expand to one entry per (splat, tile) pair with ``jnp.repeat`` under a
-     static capacity,
-  3. sort entries by (tile_id, depth) with a single XLA sort.
+  2. expand to one entry per (splat, tile) pair under a static capacity —
+     as a run-start scatter + cumsum, NOT ``jnp.repeat`` (repeat's lowering
+     hides a 1-element-slice gather that costs ~7 ms at 800k entries on
+     TPU; narrow-slice gathers are the single most expensive primitive in
+     this whole stage, see the profiles in CLAUDE.md),
+  3. sort entries by (tile_id, depth) with a single XLA sort (the sort
+     itself is CHEAP — ~1.4 ms at 786k — the bookkeeping around it is what
+     must stay lean).
 
 Entries stay in sorted order — tile runs are NOT re-laid out to chunk
 boundaries.  Both kernels read a tile's run by over-reading from the
-previous chunk boundary and masking (Mosaic DMA slices must start at
-lane-aligned offsets).  The backward kernel still needs somewhere
-collision-free to WRITE per-entry gradients, so the training layout
-additionally computes a chunk-aligned *gradient buffer* layout:
+previous chunk boundary and masking the prefix lanes (Mosaic DMA slices
+must start at lane-aligned offsets).  The backward kernel still needs
+somewhere collision-free to WRITE per-entry gradients, so the training
+layout additionally computes a chunk-aligned *gradient buffer* layout:
 
-  * ``grad_start[t]``: exclusive chunk-aligned region per tile, sized
-    ceil((start % chunk + count) / chunk) * chunk — exactly the chunks the
-    backward kernel's over-read stream covers;
-  * ``grad_gidx[k]``: the gaussian owning gradient-buffer slot k — a pure
-    elementwise/cumsum computation (no scatter; the round-1 re-layout
-    scatter cost ~7 ms/step at 500k entries and is gone).
+  * ``grad_start[t]``: exclusive region per tile inside the gradient
+    buffer, sized ceil((start % chunk + count) / chunk) * chunk — exactly
+    the chunks the backward kernel's over-read stream covers;
+  * ``slot_of_entry[e]``: where sorted entry e's gradient lands in that
+    buffer (= grad_start[t] + e - chunk_floor(tile_start[t])) — a pure
+    run-start scatter + cumsum step function, built on the (cap)-sized
+    sorted side, never on the (grad_cap)-sized buffer side.
 
-The training attribute gather uses ``grad_gidx`` directly, so the forward
-read layout and the backward gradient buffer coincide and the per-gaussian
-gradient accumulation stays in XLA's canonical transpose-of-gather
-scatter-add.  Everything here is integer bookkeeping treated as constants
-by autodiff.
+The backward pickup is then one WIDE gather, ``dgrad[:, slot_of_entry]``
+(16-row slices gather at full HBM efficiency; the 1-column variant of the
+same gather is ~6x slower), whose result is exactly the cotangent of the
+packed attribute gather — per-gaussian accumulation stays in XLA's
+canonical transpose-of-gather scatter-add.  Everything here is integer
+bookkeeping treated as constants by autodiff.
 """
 
 from __future__ import annotations
@@ -55,12 +62,12 @@ class BinnedTiles(NamedTuple):
     tile_count: jnp.ndarray    # (num_tiles,) int32 live entries per tile
     num_entries: jnp.ndarray   # () int32 total duplicated entries (pre-drop)
     overflow: jnp.ndarray      # () int32 entries dropped due to capacity
-    # Training-only (align=True) gradient-buffer layout:
-    grad_start: Optional[jnp.ndarray] = None  # (num_tiles,) chunk-aligned
-    grad_gidx: Optional[jnp.ndarray] = None   # (grad_cap,) slot -> gaussian
-    # Chunk-aligned per-tile read offsets for the kernels (= grad_start when
-    # aligned, chunk_floor(tile_start) when not):
+    # Chunk-aligned per-tile read base for the kernels' over-read streams
+    # (= chunk_floor(tile_start)):
     read_base: Optional[jnp.ndarray] = None   # (num_tiles,)
+    # Training-only (align=True) gradient-buffer layout:
+    grad_start: Optional[jnp.ndarray] = None      # (num_tiles,) chunk-aligned
+    slot_of_entry: Optional[jnp.ndarray] = None   # (cap + chunk,) entry -> slot
 
 
 def num_tiles(height: int, width: int) -> tuple[int, int]:
@@ -147,15 +154,21 @@ def bin_gaussians(
     dq_g = jnp.maximum((depth - dmin) * dscale, 0.0).astype(jnp.int32)
     dq_g = jnp.minimum(dq_g, (1 << depth_bits) - 1)
 
-    # One entry per (gaussian, touched tile); all per-gaussian quantities are
-    # packed so the expansion is a single 4-column row gather.
-    gidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), count,
-                      total_repeat_length=cap)
+    # One entry per (gaussian, touched tile).  Expansion = scatter a marker
+    # at every run start (cum is non-decreasing; zero-count splats stack
+    # markers on the next start, and the inclusive cumsum then skips them in
+    # one jump) and prefix-sum.  This is what jnp.repeat does under the
+    # hood MINUS its narrow-slice segment gather (~7 ms at this size).
+    entry = jnp.arange(cap, dtype=jnp.int32)
+    live = entry < jnp.minimum(total, cap)
+    marks = jnp.zeros(cap, jnp.int32).at[cum].add(
+        1, indices_are_sorted=True, unique_indices=False)
+    gidx = jnp.cumsum(marks) - 1                          # (cap,)
+    # Per-gaussian quantities enter through one WIDE row gather (4-column
+    # slices; a 1-column gather of the same count is ~6x slower on TPU).
     packed = jnp.stack(
         [cum.astype(jnp.int32), rect_w, y0 * tiles_x + x0, dq_g], axis=1)
     e = packed[gidx]                                     # (cap, 4)
-    entry = jnp.arange(cap, dtype=jnp.int32)
-    live = entry < jnp.minimum(total, cap)
     rank = entry - e[:, 0]
     rw = jnp.maximum(e[:, 1], 1)
     tile = e[:, 2] + (rank // rw) * tiles_x + rank % rw
@@ -170,55 +183,54 @@ def bin_gaussians(
     tile_count = (tile_edges[1:] - tile_edges[:-1]).astype(jnp.int32)
     tile_start = tile_edges[:-1].astype(jnp.int32)
     overflow = jnp.maximum(total - cap, 0)
-    gather_idx = jnp.pad(gidx_s, (0, chunk), constant_values=n)
+    # Dead entries (>= total) sort to the end under the sentinel key; route
+    # them to the dummy row n so (a) their attribute rows are zeros and (b)
+    # any gradient they carry scatter-adds onto the dropped dummy row.
+    gather_idx = jnp.pad(jnp.where(live, gidx_s, n), (0, chunk),
+                         constant_values=n)
+    read_base = ((tile_start // chunk) * chunk).astype(jnp.int32)
 
     if not align:
-        # Inference layout: entries stay packed in sorted order; the kernel
-        # over-reads each tile's run from the chunk boundary below its start
-        # and masks the prefix lanes.
+        # Inference: the forward kernel over-reads each tile's run from the
+        # chunk boundary below its start and masks the prefix lanes.
         return BinnedTiles(
             gather_idx=gather_idx,
             tile_start=tile_start,
             tile_count=tile_count,
             num_entries=total,
             overflow=overflow,
-            read_base=((tile_start // chunk) * chunk).astype(jnp.int32),
+            read_base=read_base,
         )
 
-    # Training layout: materialize each tile's run at a chunk-aligned,
-    # chunk-padded exclusive region — slot k of tile t's region carries the
-    # gaussian of sorted entry tile_start[t] + (k - region_start); lanes
-    # past the run are masked by the kernels.  The payoff: the backward
-    # kernel writes its per-entry gradients at the SAME slots it read, so
-    # the cotangent of the gathered attributes is the raw gradient buffer —
-    # no pickup gather, no re-layout scatter, and the per-gaussian
-    # accumulation stays in XLA's canonical transpose-of-gather scatter-add
-    # form (hand-separated gather+scatter cost +16..+45 ms/step).  The
-    # whole layout is elementwise math from the sort — the round-1
-    # re-layout scatter (~7 ms/step) is gone.
-    padded = ((tile_count + chunk - 1) // chunk) * chunk
+    # Training: both kernels read the packed sorted stream (same over-read
+    # masking as inference); the backward kernel additionally WRITES its
+    # per-chunk gradient rows into an exclusive chunk-aligned region per
+    # tile, sized to exactly the chunks its over-read stream covers
+    # (ceil((start % chunk + count) / chunk) rounded up in chunks).
+    off0 = tile_start - read_base
+    padded = jnp.where(
+        tile_count > 0,
+        ((off0 + tile_count + chunk - 1) // chunk) * chunk, 0)
     grad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    grad_cap = cap + t_total * chunk  # worst case: per-tile chunk rounding
 
-    slot = jnp.arange(grad_cap, dtype=jnp.int32)
-    # entry(slot) = slot - (grad_start[t] - tile_start[t]) for the region
-    # owning the slot.  The per-slot shift is a step function: scatter each
-    # region's delta at its start and prefix-sum — a per-slot searchsorted
-    # lowers to a bit-scan loop that costs ~50 ms at 662k queries on TPU.
-    # Zero-size regions collapse correctly (their deltas land on the same
-    # slot and the cumsum keeps the later tile's shift).
-    shift = grad_start - tile_start
+    # slot_of_entry[e] = grad_start[t] + (e - read_base[t]) for e in tile
+    # t's run: a step-function shift built by scattering per-tile deltas at
+    # run starts and prefix-summing over the (cap)-sized sorted side.
+    # Empty tiles stack their deltas on the next tile's start; the cumsum
+    # telescopes through them (deltas may be negative — irrelevant, the
+    # prefix sum reconstructs shift exactly).
+    shift = grad_start - read_base
     deltas = jnp.concatenate([shift[:1], jnp.diff(shift)])
     shift_of = jnp.cumsum(
-        jnp.zeros(grad_cap, jnp.int32).at[grad_start].add(deltas))
-    entry = slot - shift_of
-    # Slots past the last tile's region are never written by the backward
-    # kernel (uninitialized) — route them to the dummy row n, which the
-    # caller strips (regression: garbage/NaN would otherwise land on real
-    # gaussians).
-    used = slot < grad_start[-1] + padded[-1]
-    grad_gidx = jnp.where(
-        used, gather_idx[jnp.clip(entry, 0, cap + chunk - 1)], n)
+        jnp.zeros(cap, jnp.int32).at[tile_start].add(
+            deltas, indices_are_sorted=True, unique_indices=False))
+    grad_cap = cap + 2 * t_total * chunk   # static worst case, see rasterizer
+    slot_of_entry = jnp.pad(
+        jnp.clip(entry + shift_of, 0, grad_cap - 1), (0, chunk))
+    # (Trailing pad + dead entries land on arbitrary in-bounds slots of the
+    # gradient buffer, possibly unwritten garbage; their gather_idx is the
+    # dummy row n, so whatever they pick up is dropped with the dummy row —
+    # no masking pass needed.)
 
     return BinnedTiles(
         gather_idx=gather_idx,
@@ -226,7 +238,7 @@ def bin_gaussians(
         tile_count=tile_count,
         num_entries=total,
         overflow=overflow,
+        read_base=read_base,
         grad_start=grad_start,
-        grad_gidx=grad_gidx,
-        read_base=grad_start,
+        slot_of_entry=slot_of_entry,
     )

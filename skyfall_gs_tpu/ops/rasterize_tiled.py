@@ -25,11 +25,15 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
     emits AbsGS absolute screen-space gradients (reference
     scene/gaussian_model.py:744-749) as two extra gradient rows.
   * Entries stay in the sorted order (no re-layout scatter): both kernels
-    over-read each tile's run from the previous chunk boundary and mask.
-    The backward kernel writes gradient chunks to an exclusive chunk-
-    aligned region per tile inside a padded gradient buffer; a cheap
-    elementwise map (binning.grad_dest) gathers them back to entry order —
-    no read-modify-write, no cross-tile overlap, no atomics needed.
+    over-read each tile's run from the previous chunk boundary and mask
+    the prefix lanes.  The backward kernel writes gradient chunks to an
+    exclusive chunk-aligned region per tile inside a padded gradient
+    buffer; one wide pickup gather (dgrad[:, binning.slot_of_entry]) maps
+    them back to entry order — no read-modify-write, no cross-tile
+    overlap, no atomics needed.  Masked prefix lanes write zero rows, so
+    regions of adjacent tiles that cover the same sorted entries never
+    conflict: each entry's true gradient lives only in its own tile's
+    region.
 
 The custom-VJP boundary wraps only (sorted attributes -> tile images); the
 projection before it and the gather into sorted order are plain JAX, so XLA
@@ -71,7 +75,6 @@ class _Config(NamedTuple):
     cap_pad: int
     interpret: bool
     grad_cap: int = 0  # static gradient-buffer size (training only)
-    n_rows: int = 0    # N + 1 attribute rows incl. the dummy (training only)
 
 
 def _interpret_default() -> bool:
@@ -164,17 +167,17 @@ def _make_read_dma(attrs_ref, buf_ref, sem_ref, start):
 # Forward kernel
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(tiles_x: int, packed: bool, start_ref, count_ref, base_ref,
+def _fwd_kernel(tiles_x: int, start_ref, count_ref,
                 attrs_ref, offx_ref, offy_ref, out_ref, tfin_ref, buf, sems):
     t = pl.program_id(0)
     start = start_ref[t]
     cnt = count_ref[t]
-    base = base_ref[t]               # chunk-aligned read offset (binning)
-    # packed (inference): runs share the sorted buffer, over-read from the
-    # chunk boundary below and mask the prefix lanes.  Training layout:
-    # each run starts its own region, no prefix.
-    off0 = jax.lax.rem(start, CHUNK) if packed else jnp.int32(0)
-    nchunks = (off0 + cnt + CHUNK - 1) // CHUNK
+    # Runs share the packed sorted buffer: over-read from the chunk
+    # boundary below the run start and mask the prefix lanes.  Empty tiles
+    # do zero chunks (their off0 alone would otherwise round up to one).
+    base = (start // CHUNK) * CHUNK
+    off0 = start - base
+    nchunks = jnp.where(cnt > 0, (off0 + cnt + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
     tri = _tri_incl()
     dma = _make_read_dma(attrs_ref, buf, sems, base)
@@ -232,14 +235,18 @@ def _fwd_kernel(tiles_x: int, packed: bool, start_ref, count_ref, base_ref,
 def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
                 offx_ref, offy_ref, outres_ref, tfin_ref, dout_ref, dtfin_ref,
                 dattrs_ref, buf, dbuf, rsems, wsems):
-    del start_ref  # training layout has no prefix: runs start at gstart
     t = pl.program_id(0)
+    start = start_ref[t]
     cnt = count_ref[t]
-    gstart = gstart_ref[t]           # read base AND write base (same layout)
-    nchunks = (cnt + CHUNK - 1) // CHUNK
+    gstart = gstart_ref[t]           # exclusive chunk-aligned WRITE region
+    # Reads stream the packed sorted buffer exactly like the forward
+    # kernel (over-read from the chunk boundary, mask prefix lanes).
+    base = (start // CHUNK) * CHUNK
+    off0 = start - base
+    nchunks = jnp.where(cnt > 0, (off0 + cnt + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
     tri = _tri_incl()
-    dma = _make_read_dma(attrs_ref, buf, rsems, gstart)
+    dma = _make_read_dma(attrs_ref, buf, rsems, base)
 
     dout = dout_ref[0]                                       # (8, P)
     outres = outres_ref[0]                                   # (8, P)
@@ -251,10 +258,11 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
     ) + dtfin_ref[...] * tfin_ref[...]
 
     def wdma(slot, c):
-        # Gradient chunks land at the SAME slots the attributes were read
-        # from (binning's materialized over-read layout): exclusive chunk-
-        # aligned regions per tile — plain copies, no read-modify-write, and
-        # the cotangent of the gathered attributes is this buffer verbatim.
+        # Chunk c's gradient rows land at the tile's exclusive chunk-aligned
+        # region (binning.grad_start) — plain copies, no read-modify-write.
+        # Masked prefix/suffix lanes write zeros; binning.slot_of_entry maps
+        # each sorted entry to its one live slot (gstart + c*CHUNK + lane
+        # <-> sorted position base + c*CHUNK + lane).
         off = pl.multiple_of(gstart + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dbuf.at[slot],
@@ -281,7 +289,7 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
         dma(slot, c).wait()
         chunk = buf[slot]
         alpha, alpha_un, expp, use, dx, dy, ca, cb, cc = _chunk_state(
-            chunk, px, py, c * CHUNK, jnp.int32(0), cnt
+            chunk, px, py, c * CHUNK, off0, off0 + cnt
         )
         one_minus = 1.0 - alpha
         cum = _cumprod_incl(one_minus, tri)
@@ -378,10 +386,10 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
 # pallas_call wrappers + custom VJP
 # ----------------------------------------------------------------------------
 
-def _fwd_call(cfg: _Config, attrs, start, count, base, offx, offy):
+def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
     t_total = cfg.tiles_y * cfg.tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -399,14 +407,14 @@ def _fwd_call(cfg: _Config, attrs, start, count, base, offx, offy):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg.tiles_x, cfg.grad_cap == 0),
+        functools.partial(_fwd_kernel, cfg.tiles_x),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_total, NCH, P), jnp.float32),
             jax.ShapeDtypeStruct((t_total * P, 1), jnp.float32),
         ],
         interpret=cfg.interpret,
-    )(start, count, base, attrs, offx, offy)
+    )(start, count, attrs, offx, offy)
 
 
 def _bwd_call(cfg: _Config, attrs, start, count, gstart, offx, offy, outres,
@@ -445,35 +453,40 @@ def _bwd_call(cfg: _Config, attrs, start, count, gstart, offx, offy, outres,
 
 @functools.lru_cache(maxsize=None)
 def _make_composite(cfg: _Config):
-    """Differentiable composite over the materialized over-read layout.
+    """Differentiable composite over the packed sorted entry stream.
 
-    ``attrs``/``absd`` are gathered by binning.grad_gidx OUTSIDE this
-    boundary, so the forward read layout and the backward gradient buffer
-    are identical: the backward kernel's output IS the cotangent (rows
-    7/14/15 re-zeroed; 14:16 routed to the AbsGS dummy), and per-gaussian
-    accumulation happens in the gather's own transpose — the canonical
-    scatter-add XLA lowers well (hand-separated pickup gather + scatter
-    variants cost +16..+45 ms/step at 500k entries).
+    ``attrs``/``absd`` are gathered by binning.gather_idx OUTSIDE this
+    boundary.  The backward kernel writes per-entry gradient rows into the
+    chunk-aligned gradient buffer; one wide pickup gather by
+    ``slot_of_entry`` turns that buffer into the cotangent of the packed
+    attribute gather (rows 7/14/15 re-zeroed; 14:16 routed to the AbsGS
+    dummy), and per-gaussian accumulation happens in the attribute
+    gather's own transpose — the canonical scatter-add XLA lowers well.
+    (Design history: materializing the attribute stream in gradient-buffer
+    layout instead needs a (grad_cap,) 1-column index gather, and 1-column
+    gathers cost ~6x a 16-row gather at this size — see CLAUDE.md.)
     """
     @jax.custom_vjp
-    def composite(attrs, absd, start, count, base, offx, offy):
-        del absd
-        return _fwd_call(cfg, attrs, start, count, base, offx, offy)
+    def composite(attrs, absd, slot_of_entry, start, count, gstart, offx, offy):
+        del absd, slot_of_entry, gstart
+        return _fwd_call(cfg, attrs, start, count, offx, offy)
 
-    def fwd(attrs, absd, start, count, base, offx, offy):
-        out, tfin = _fwd_call(cfg, attrs, start, count, base, offx, offy)
-        return (out, tfin), (attrs, start, count, base, offx, offy, out, tfin)
+    def fwd(attrs, absd, slot_of_entry, start, count, gstart, offx, offy):
+        out, tfin = _fwd_call(cfg, attrs, start, count, offx, offy)
+        return (out, tfin), (attrs, slot_of_entry, start, count, gstart,
+                             offx, offy, out, tfin)
 
     def bwd(res, cot):
-        attrs, start, count, base, offx, offy, out, tfin = res
+        attrs, slot_of_entry, start, count, gstart, offx, offy, out, tfin = res
         dout, dtfin = cot
-        dpadded = _bwd_call(cfg, attrs, start, count, base, offx, offy,
+        dpadded = _bwd_call(cfg, attrs, start, count, gstart, offx, offy,
                             out, tfin, dout, dtfin)        # (NA, grad_cap)
-        d_main = dpadded.at[14:, :].set(0.0).at[7, :].set(0.0)
-        d_abs = dpadded[14:16, :]
+        dsel = dpadded[:, slot_of_entry]                   # (NA, cap_pad)
+        d_main = dsel.at[14:, :].set(0.0).at[7, :].set(0.0)
+        d_abs = dsel[14:16, :]
         f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
-        return (d_main, d_abs, f0(start), f0(count), f0(base),
-                jnp.zeros_like(offx), jnp.zeros_like(offy))
+        return (d_main, d_abs, f0(slot_of_entry), f0(start), f0(count),
+                f0(gstart), jnp.zeros_like(offx), jnp.zeros_like(offy))
 
     composite.defvjp(fwd, bwd)
     return composite
@@ -532,9 +545,10 @@ def composite_tiled(
         cap = default_capacity(n)
     if interpret is None:
         interpret = _interpret_default()
-    # Gradient/training buffer worst case: chunk rounding per tile.
+    # Gradient/training buffer worst case: per-tile chunk rounding plus the
+    # over-read prefix (off0 <= CHUNK-1) — see binning's `padded`.
     cfg = _Config(tiles_y, tiles_x, cap + CHUNK, interpret,
-                  grad_cap=0 if inference else cap + t_total * CHUNK)
+                  grad_cap=0 if inference else cap + 2 * t_total * CHUNK)
 
     binned = bin_gaussians(
         jax.lax.stop_gradient(mean2d),
@@ -574,16 +588,16 @@ def composite_tiled(
         offy = sp[:, 1:2]
 
     if inference:
-        # Forward-only fast path: no custom VJP, no AbsGS plumbing; the
-        # packed sorted layout is smaller than the training layout.
+        # Forward-only fast path: no custom VJP, no AbsGS plumbing.
         out, tfin = _fwd_call(cfg, attrs.T[:, gi], binned.tile_start,
-                              binned.tile_count, binned.read_base, offx, offy)
+                              binned.tile_count, offx, offy)
     else:
-        attrs_sorted = attrs.T[:, binned.grad_gidx]          # (16, grad_cap)
-        absd_sorted = absd.T[:, binned.grad_gidx]
+        attrs_sorted = attrs.T[:, gi]                        # (16, cap_pad)
+        absd_sorted = absd.T[:, gi]
         out, tfin = _make_composite(cfg)(
-            attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
-            binned.read_base, offx, offy,
+            attrs_sorted, absd_sorted, binned.slot_of_entry,
+            binned.tile_start, binned.tile_count, binned.grad_start,
+            offx, offy,
         )                                                    # (T, 8, P), (T*P, 1)
 
     img = (

@@ -107,18 +107,20 @@ class TestBinning:
         assert counts.sum() <= int(binned.num_entries)
         assert int(binned.overflow) == 0
         # gradient/training layout: chunk-aligned exclusive regions sized to
-        # each tile's chunk-rounded run
+        # each tile's over-read chunk stream (prefix + run, chunk-rounded)
         gs = np.asarray(binned.grad_start)
         assert (gs % 256 == 0).all()
-        padded = -(-counts // 256) * 256
+        base = (starts // 256) * 256
+        off0 = starts - base
+        padded = np.where(counts > 0, -(-(off0 + counts) // 256) * 256, 0)
         assert (np.diff(gs) == padded[:-1]).all()
-        # slot -> gaussian map: tile t's live slots carry the same gaussians
-        # as its sorted run, in order
-        gg = np.asarray(binned.grad_gidx)
-        gi = np.asarray(binned.gather_idx)
+        # entry -> slot map: sorted entry e of tile t lands at
+        # grad_start[t] + (e - chunk_floor(tile_start[t]))
+        soe = np.asarray(binned.slot_of_entry)
         for t in range(ty * tx):
             s, c = int(starts[t]), int(counts[t])
-            np.testing.assert_array_equal(gg[gs[t]: gs[t] + c], gi[s:s + c])
+            np.testing.assert_array_equal(
+                soe[s:s + c], gs[t] + np.arange(s, s + c) - base[t])
 
     def test_depth_sorted_within_tile(self, rng):
         cam = make_test_camera(32, 32)
