@@ -16,22 +16,22 @@ There are no atomics on TPU, so instead of per-tile atomic counters we:
 Entries stay in sorted order — tile runs are NOT re-laid out to chunk
 boundaries.  Both kernels read a tile's run by over-reading from the
 previous chunk boundary and masking the prefix lanes (Mosaic DMA slices
-must start at lane-aligned offsets).  The backward kernel still needs
-somewhere collision-free to WRITE per-entry gradients, so the training
-layout additionally computes a chunk-aligned *gradient buffer* layout:
+must start at lane-aligned offsets).  The backward kernel writes
+per-entry gradients straight back in the same packed entry order, at the
+same chunk-aligned offsets it reads: the cotangent of the packed
+attribute gather IS the gradient buffer, with no intermediate layout and
+no pickup gather (a (cap)-sized wide gather costs ~6 ms at 786k entries
+— any design that re-orders the gradient stream pays it).
 
-  * ``grad_start[t]``: exclusive region per tile inside the gradient
-    buffer, sized ceil((start % chunk + count) / chunk) * chunk — exactly
-    the chunks the backward kernel's over-read stream covers;
-  * ``slot_of_entry[e]``: where sorted entry e's gradient lands in that
-    buffer (= grad_start[t] + e - chunk_floor(tile_start[t])) — a pure
-    run-start scatter + cumsum step function, built on the (cap)-sized
-    sorted side, never on the (grad_cap)-sized buffer side.
-
-The backward pickup is then one WIDE gather, ``dgrad[:, slot_of_entry]``
-(16-row slices gather at full HBM efficiency; the 1-column variant of the
-same gather is ~6x slower), whose result is exactly the cotangent of the
-packed attribute gather — per-gaussian accumulation stays in XLA's
+The only hazard is the single boundary chunk two adjacent tiles share
+(tile t's last chunk = tile t+1's first).  The TPU grid runs tiles
+sequentially on one core, and masked lanes write exact zeros, so the
+later tile resolves it by ACCUMULATING its first chunk onto the block
+instead of overwriting (its prefix lanes add zero onto the earlier
+tile's values; its own lanes add onto the zeros the earlier tile left).
+``write_fresh[t]`` tells the kernel whether tile t's first chunk block
+was already covered by an earlier tile (accumulate) or is untouched HBM
+garbage (plain write).  Per-gaussian accumulation stays in XLA's
 canonical transpose-of-gather scatter-add.  Everything here is integer
 bookkeeping treated as constants by autodiff.
 """
@@ -65,9 +65,10 @@ class BinnedTiles(NamedTuple):
     # Chunk-aligned per-tile read base for the kernels' over-read streams
     # (= chunk_floor(tile_start)):
     read_base: Optional[jnp.ndarray] = None   # (num_tiles,)
-    # Training-only (align=True) gradient-buffer layout:
-    grad_start: Optional[jnp.ndarray] = None      # (num_tiles,) chunk-aligned
-    slot_of_entry: Optional[jnp.ndarray] = None   # (cap + chunk,) entry -> slot
+    # Training-only (align=True): 1 iff tile t's first chunk block is NOT
+    # shared with an earlier tile's write coverage (plain write vs
+    # accumulate in the backward kernel).
+    write_fresh: Optional[jnp.ndarray] = None  # (num_tiles,) int32 0/1
 
 
 def num_tiles(height: int, width: int) -> tuple[int, int]:
@@ -203,34 +204,17 @@ def bin_gaussians(
         )
 
     # Training: both kernels read the packed sorted stream (same over-read
-    # masking as inference); the backward kernel additionally WRITES its
-    # per-chunk gradient rows into an exclusive chunk-aligned region per
-    # tile, sized to exactly the chunks its over-read stream covers
-    # (ceil((start % chunk + count) / chunk) rounded up in chunks).
+    # masking as inference); the backward kernel writes gradient chunks
+    # back at the same offsets.  Tile t's first chunk block is shared with
+    # an earlier tile's coverage iff read_base[t] < running max of earlier
+    # coverage ends — the kernel then accumulates instead of overwriting.
     off0 = tile_start - read_base
-    padded = jnp.where(
-        tile_count > 0,
-        ((off0 + tile_count + chunk - 1) // chunk) * chunk, 0)
-    grad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-
-    # slot_of_entry[e] = grad_start[t] + (e - read_base[t]) for e in tile
-    # t's run: a step-function shift built by scattering per-tile deltas at
-    # run starts and prefix-summing over the (cap)-sized sorted side.
-    # Empty tiles stack their deltas on the next tile's start; the cumsum
-    # telescopes through them (deltas may be negative — irrelevant, the
-    # prefix sum reconstructs shift exactly).
-    shift = grad_start - read_base
-    deltas = jnp.concatenate([shift[:1], jnp.diff(shift)])
-    shift_of = jnp.cumsum(
-        jnp.zeros(cap, jnp.int32).at[tile_start].add(
-            deltas, indices_are_sorted=True, unique_indices=False))
-    grad_cap = cap + 2 * t_total * chunk   # static worst case, see rasterizer
-    slot_of_entry = jnp.pad(
-        jnp.clip(entry + shift_of, 0, grad_cap - 1), (0, chunk))
-    # (Trailing pad + dead entries land on arbitrary in-bounds slots of the
-    # gradient buffer, possibly unwritten garbage; their gather_idx is the
-    # dummy row n, so whatever they pick up is dropped with the dummy row —
-    # no masking pass needed.)
+    nchunks = jnp.where(
+        tile_count > 0, (off0 + tile_count + chunk - 1) // chunk, 0)
+    cov_end = jnp.where(tile_count > 0, read_base + nchunks * chunk, 0)
+    cov_prev = jnp.concatenate(
+        [jnp.zeros(1, cov_end.dtype), jax.lax.cummax(cov_end)[:-1]])
+    write_fresh = (read_base >= cov_prev).astype(jnp.int32)
 
     return BinnedTiles(
         gather_idx=gather_idx,
@@ -239,6 +223,5 @@ def bin_gaussians(
         num_entries=total,
         overflow=overflow,
         read_base=read_base,
-        grad_start=grad_start,
-        slot_of_entry=slot_of_entry,
+        write_fresh=write_fresh,
     )

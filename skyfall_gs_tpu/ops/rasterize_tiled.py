@@ -26,14 +26,15 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
     scene/gaussian_model.py:744-749) as two extra gradient rows.
   * Entries stay in the sorted order (no re-layout scatter): both kernels
     over-read each tile's run from the previous chunk boundary and mask
-    the prefix lanes.  The backward kernel writes gradient chunks to an
-    exclusive chunk-aligned region per tile inside a padded gradient
-    buffer; one wide pickup gather (dgrad[:, binning.slot_of_entry]) maps
-    them back to entry order — no read-modify-write, no cross-tile
-    overlap, no atomics needed.  Masked prefix lanes write zero rows, so
-    regions of adjacent tiles that cover the same sorted entries never
-    conflict: each entry's true gradient lives only in its own tile's
-    region.
+    the prefix lanes.  The backward kernel writes gradient chunks back at
+    the SAME offsets, so its output is directly the cotangent of the
+    packed attribute gather — no gradient relayout, no pickup gather.
+    The one block two adjacent tiles share (last chunk of t = first chunk
+    of t+1) is resolved by ACCUMULATION: the grid is sequential on the
+    core, masked lanes carry exact zeros, and the later tile adds its
+    chunk onto the earlier tile's block (binning.write_fresh flags blocks
+    with no earlier coverage, which are plain-written).  No atomics
+    needed.
 
 The custom-VJP boundary wraps only (sorted attributes -> tile images); the
 projection before it and the gather into sorted order are plain JAX, so XLA
@@ -74,7 +75,7 @@ class _Config(NamedTuple):
     tiles_x: int
     cap_pad: int
     interpret: bool
-    grad_cap: int = 0  # static gradient-buffer size (training only)
+    grad_cap: int = 0  # gradient-buffer size (= cap_pad; 0 = inference)
 
 
 def _interpret_default() -> bool:
@@ -232,21 +233,37 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
 # Backward kernel
 # ----------------------------------------------------------------------------
 
-def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
+def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
                 offx_ref, offy_ref, outres_ref, tfin_ref, dout_ref, dtfin_ref,
-                dattrs_ref, buf, dbuf, rsems, wsems):
+                dattrs_ref, buf, dbuf, rbuf, rsems, wsems, bsem):
     t = pl.program_id(0)
     start = start_ref[t]
     cnt = count_ref[t]
-    gstart = gstart_ref[t]           # exclusive chunk-aligned WRITE region
+    fresh = fresh_ref[t]
     # Reads stream the packed sorted buffer exactly like the forward
-    # kernel (over-read from the chunk boundary, mask prefix lanes).
+    # kernel (over-read from the chunk boundary, mask prefix lanes), and
+    # gradient chunks are written back at the SAME offsets — the gradient
+    # buffer is in packed entry order, no relayout, no pickup gather.
+    # Only the first chunk's block can be shared with an earlier tile's
+    # writes (tiles run sequentially on the core); when it is
+    # (fresh == 0), this tile ACCUMULATES onto it: its masked prefix lanes
+    # carry exact zeros, and the earlier tile left exact zeros in the
+    # lanes owned here, so the add merges both tiles' entries losslessly.
     base = (start // CHUNK) * CHUNK
     off0 = start - base
     nchunks = jnp.where(cnt > 0, (off0 + cnt + CHUNK - 1) // CHUNK, 0)
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
     tri = _tri_incl()
     dma = _make_read_dma(attrs_ref, buf, rsems, base)
+
+    def boundary_read():
+        off = pl.multiple_of(base, CHUNK)
+        return pltpu.make_async_copy(
+            dattrs_ref.at[:, pl.ds(off, CHUNK)], rbuf, bsem)
+
+    @pl.when((nchunks > 0) & (fresh == 0))
+    def _():
+        boundary_read().start()
 
     dout = dout_ref[0]                                       # (8, P)
     outres = outres_ref[0]                                   # (8, P)
@@ -258,12 +275,9 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
     ) + dtfin_ref[...] * tfin_ref[...]
 
     def wdma(slot, c):
-        # Chunk c's gradient rows land at the tile's exclusive chunk-aligned
-        # region (binning.grad_start) — plain copies, no read-modify-write.
-        # Masked prefix/suffix lanes write zeros; binning.slot_of_entry maps
-        # each sorted entry to its one live slot (gstart + c*CHUNK + lane
-        # <-> sorted position base + c*CHUNK + lane).
-        off = pl.multiple_of(gstart + c * CHUNK, CHUNK)
+        # Chunk c's gradient rows land exactly where its attributes were
+        # read: packed sorted entry order, chunk-aligned.
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dbuf.at[slot],
             dattrs_ref.at[:, pl.ds(off, CHUNK)],
@@ -337,7 +351,18 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, gstart_ref, attrs_ref,
         def _():
             wdma(slot, c - 2).wait()
 
-        dbuf[slot] = dchunk
+        # Shared boundary block: accumulate onto the earlier tile's chunk
+        # (see kernel docstring) — prefix lanes here are exact zeros, and
+        # the earlier tile left exact zeros in this tile's lanes.
+        @pl.when((c == 0) & (fresh == 0))
+        def _():
+            boundary_read().wait()
+            dbuf[slot] = dchunk + rbuf[...]
+
+        @pl.when((c != 0) | (fresh != 0))
+        def _():
+            dbuf[slot] = dchunk
+
         wdma(slot, c).start()
 
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
@@ -417,7 +442,7 @@ def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
     )(start, count, attrs, offx, offy)
 
 
-def _bwd_call(cfg: _Config, attrs, start, count, gstart, offx, offy, outres,
+def _bwd_call(cfg: _Config, attrs, start, count, fresh, offx, offy, outres,
               tfin, dout, dtfin):
     t_total = cfg.tiles_y * cfg.tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -438,17 +463,19 @@ def _bwd_call(cfg: _Config, attrs, start, count, gstart, offx, offy, outres,
         scratch_shapes=[
             pltpu.VMEM((2, NA, CHUNK), jnp.float32),
             pltpu.VMEM((2, NA, CHUNK), jnp.float32),
+            pltpu.VMEM((NA, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg.tiles_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NA, cfg.grad_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NA, cfg.cap_pad), jnp.float32),
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(start, count, gstart, attrs, offx, offy, outres, tfin, dout, dtfin)
+    )(start, count, fresh, attrs, offx, offy, outres, tfin, dout, dtfin)
 
 
 @functools.lru_cache(maxsize=None)
@@ -456,37 +483,36 @@ def _make_composite(cfg: _Config):
     """Differentiable composite over the packed sorted entry stream.
 
     ``attrs``/``absd`` are gathered by binning.gather_idx OUTSIDE this
-    boundary.  The backward kernel writes per-entry gradient rows into the
-    chunk-aligned gradient buffer; one wide pickup gather by
-    ``slot_of_entry`` turns that buffer into the cotangent of the packed
-    attribute gather (rows 7/14/15 re-zeroed; 14:16 routed to the AbsGS
-    dummy), and per-gaussian accumulation happens in the attribute
-    gather's own transpose — the canonical scatter-add XLA lowers well.
-    (Design history: materializing the attribute stream in gradient-buffer
-    layout instead needs a (grad_cap,) 1-column index gather, and 1-column
-    gathers cost ~6x a 16-row gather at this size — see CLAUDE.md.)
+    boundary.  The backward kernel writes per-entry gradient rows straight
+    back in the same packed entry order (boundary chunks accumulate, see
+    kernel), so its output IS the cotangent of the packed attribute gather
+    (rows 7/14/15 re-zeroed; 14:16 routed to the AbsGS dummy), and
+    per-gaussian accumulation happens in the attribute gather's own
+    transpose — the canonical scatter-add XLA lowers well.  (Design
+    history: any scheme that re-orders the gradient stream — a
+    gradient-buffer layout plus a pickup gather, or a materialized
+    slot-indexed attribute stream — pays a ~6 ms wide gather or an ~8.5 ms
+    1-column gather at 786k entries; see CLAUDE.md.)
     """
     @jax.custom_vjp
-    def composite(attrs, absd, slot_of_entry, start, count, gstart, offx, offy):
-        del absd, slot_of_entry, gstart
+    def composite(attrs, absd, start, count, fresh, offx, offy):
+        del absd, fresh
         return _fwd_call(cfg, attrs, start, count, offx, offy)
 
-    def fwd(attrs, absd, slot_of_entry, start, count, gstart, offx, offy):
+    def fwd(attrs, absd, start, count, fresh, offx, offy):
         out, tfin = _fwd_call(cfg, attrs, start, count, offx, offy)
-        return (out, tfin), (attrs, slot_of_entry, start, count, gstart,
-                             offx, offy, out, tfin)
+        return (out, tfin), (attrs, start, count, fresh, offx, offy, out, tfin)
 
     def bwd(res, cot):
-        attrs, slot_of_entry, start, count, gstart, offx, offy, out, tfin = res
+        attrs, start, count, fresh, offx, offy, out, tfin = res
         dout, dtfin = cot
-        dpadded = _bwd_call(cfg, attrs, start, count, gstart, offx, offy,
-                            out, tfin, dout, dtfin)        # (NA, grad_cap)
-        dsel = dpadded[:, slot_of_entry]                   # (NA, cap_pad)
-        d_main = dsel.at[14:, :].set(0.0).at[7, :].set(0.0)
-        d_abs = dsel[14:16, :]
+        dpadded = _bwd_call(cfg, attrs, start, count, fresh, offx, offy,
+                            out, tfin, dout, dtfin)        # (NA, cap_pad)
+        d_main = dpadded.at[14:, :].set(0.0).at[7, :].set(0.0)
+        d_abs = dpadded[14:16, :]
         f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
-        return (d_main, d_abs, f0(slot_of_entry), f0(start), f0(count),
-                f0(gstart), jnp.zeros_like(offx), jnp.zeros_like(offy))
+        return (d_main, d_abs, f0(start), f0(count), f0(fresh),
+                jnp.zeros_like(offx), jnp.zeros_like(offy))
 
     composite.defvjp(fwd, bwd)
     return composite
@@ -545,10 +571,9 @@ def composite_tiled(
         cap = default_capacity(n)
     if interpret is None:
         interpret = _interpret_default()
-    # Gradient/training buffer worst case: per-tile chunk rounding plus the
-    # over-read prefix (off0 <= CHUNK-1) — see binning's `padded`.
+    # The gradient buffer shares the packed entry layout: (NA, cap_pad).
     cfg = _Config(tiles_y, tiles_x, cap + CHUNK, interpret,
-                  grad_cap=0 if inference else cap + 2 * t_total * CHUNK)
+                  grad_cap=0 if inference else cap + CHUNK)
 
     binned = bin_gaussians(
         jax.lax.stop_gradient(mean2d),
@@ -595,9 +620,8 @@ def composite_tiled(
         attrs_sorted = attrs.T[:, gi]                        # (16, cap_pad)
         absd_sorted = absd.T[:, gi]
         out, tfin = _make_composite(cfg)(
-            attrs_sorted, absd_sorted, binned.slot_of_entry,
-            binned.tile_start, binned.tile_count, binned.grad_start,
-            offx, offy,
+            attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
+            binned.write_fresh, offx, offy,
         )                                                    # (T, 8, P), (T*P, 1)
 
     img = (

@@ -106,21 +106,19 @@ class TestBinning:
         assert (starts[1:] == starts[:-1] + counts[:-1]).all()
         assert counts.sum() <= int(binned.num_entries)
         assert int(binned.overflow) == 0
-        # gradient/training layout: chunk-aligned exclusive regions sized to
-        # each tile's over-read chunk stream (prefix + run, chunk-rounded)
-        gs = np.asarray(binned.grad_start)
-        assert (gs % 256 == 0).all()
+        # training write plan: a tile's first chunk block is "fresh" iff no
+        # earlier tile's chunk coverage reaches it (else the backward kernel
+        # accumulates instead of overwriting)
         base = (starts // 256) * 256
         off0 = starts - base
-        padded = np.where(counts > 0, -(-(off0 + counts) // 256) * 256, 0)
-        assert (np.diff(gs) == padded[:-1]).all()
-        # entry -> slot map: sorted entry e of tile t lands at
-        # grad_start[t] + (e - chunk_floor(tile_start[t]))
-        soe = np.asarray(binned.slot_of_entry)
-        for t in range(ty * tx):
-            s, c = int(starts[t]), int(counts[t])
-            np.testing.assert_array_equal(
-                soe[s:s + c], gs[t] + np.arange(s, s + c) - base[t])
+        nchunks = np.where(counts > 0, -(-(off0 + counts) // 256), 0)
+        cov_end = np.where(counts > 0, base + nchunks * 256, 0)
+        cov_prev = np.concatenate([[0], np.maximum.accumulate(cov_end)[:-1]])
+        fresh = np.asarray(binned.write_fresh)
+        np.testing.assert_array_equal(fresh, (base >= cov_prev).astype(np.int32))
+        # at least one shared boundary exists in this scene (the accumulate
+        # path is exercised)
+        assert (fresh == 0).any()
 
     def test_depth_sorted_within_tile(self, rng):
         cam = make_test_camera(32, 32)
