@@ -60,7 +60,33 @@ def main():
     bg = jnp.zeros(3)
 
     opt_cfg = OptimizationConfig()
-    step = make_train_step(opt_cfg, use_depth=True)
+
+    # Right-size the binning capacity exactly like the Trainer does
+    # (train/loop.py _update_bin_capacity): worst view's measured entry
+    # count x1.3, 128k buckets.  The library default (4x splats) would
+    # silently overflow at this workload — ~540k duplicated entries vs a
+    # 400k cap — and a bench that drops 26% of entries measures a lighter
+    # step than production runs.
+    from skyfall_gs_tpu.model.gaussians import (
+        opacity_with_3d_filter, scaling_with_3d_filter)
+    from skyfall_gs_tpu.ops.binning import count_entries
+    from skyfall_gs_tpu.ops.projection import project_gaussians
+
+    @jax.jit
+    def n_entries(params, filter_3d, alive, cam):
+        scales = scaling_with_3d_filter(params, filter_3d)
+        opac = opacity_with_3d_filter(params, filter_3d)
+        proj = project_gaussians(params.xyz, scales, params.rotation, opac,
+                                 cam, kernel_size=0.1, mask=alive)
+        return count_entries(proj.mean2d, proj.radius, IMG, IMG,
+                             radius_xy=proj.radius_xy)
+
+    worst = max(int(n_entries(ts.model.params, ts.model.aux.filter_3d,
+                              ts.model.aux.alive, c)) for c in cams)
+    bucket = 128 * 1024
+    bin_capacity = max(-(-int(worst * 1.3) // bucket) * bucket, bucket)
+
+    step = make_train_step(opt_cfg, use_depth=True, bin_capacity=bin_capacity)
 
     # Pre-split keys and hoist traced scalars: an eagerly dispatched
     # jax.random.split chained per iteration costs ~35 ms/step through the
@@ -86,12 +112,56 @@ def main():
     dt = time.perf_counter() - t0
 
     its = MEASURE / dt
-    print(json.dumps({
+
+    result = {
         "metric": "stage1_train_iters_per_sec_512px_100k",
         "value": round(its, 3),
         "unit": "iters/sec",
         "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
-    }))
+    }
+    try:
+        result.update(quality_metric())
+    except Exception as e:  # quality is auxiliary — never lose the perf line
+        result["quality_error"] = repr(e)
+    print(json.dumps(result))
+
+
+def quality_metric():
+    """Reconstruction-quality anchor (BASELINE.md "PSNR within 0.5%" north
+    star): train the procedural city scene for a fixed budget with the full
+    Stage-1 Trainer (densify + curricula) and report held-out test PSNR.
+    Deterministic setup — round-over-round deltas are quality regressions,
+    not noise."""
+    import os
+    import tempfile
+
+    from skyfall_gs_tpu.config import (
+        ModelConfig, OptimizationConfig, PipelineConfig)
+    from skyfall_gs_tpu.io.synthetic import make_city_scene, test_psnr
+    from skyfall_gs_tpu.train.loop import Trainer
+
+    iters = 500
+    out_dir = tempfile.mkdtemp(prefix="skyfall_bench_q_")
+    scene = make_city_scene(out_dir, n_views=12, size=64, n_points=400)
+    model_cfg = ModelConfig(model_path=out_dir, kernel_size=0.1)
+    opt_cfg = OptimizationConfig(
+        iterations=iters,
+        densify_from_iter=100,
+        densification_interval=150,
+        densify_until_iter=int(iters * 0.8),
+        opacity_reset_interval=10 ** 9,
+        lambda_depth=0.0,
+        lambda_opacity=0.01,
+        position_lr_max_steps=iters,
+    )
+    trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(), scene)
+    state = trainer.init_state()
+    state = trainer.train(state, iterations=iters, save_iterations=(),
+                          checkpoint_iterations=())
+    return {
+        "quality_psnr_db": round(test_psnr(trainer, scene, state), 2),
+        "quality_setup": f"city64px_{iters}it",
+    }
 
 
 if __name__ == "__main__":

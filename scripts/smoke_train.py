@@ -18,61 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from skyfall_gs_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
-from skyfall_gs_tpu.core.camera import orbit_cameras
-from skyfall_gs_tpu.io.scene import SceneData, View
+from skyfall_gs_tpu.io.synthetic import make_city_scene as make_synthetic_scene
 from skyfall_gs_tpu.train.loop import Trainer
-
-
-def make_synthetic_scene(tmpdir, n_views=12, size=64, n_points=400, seed=0):
-    rng = np.random.default_rng(seed)
-    # ground-truth point cloud: a plane + some "buildings"
-    ground = np.stack([
-        rng.uniform(-1.5, 1.5, n_points // 2),
-        rng.uniform(-1.5, 1.5, n_points // 2),
-        np.zeros(n_points // 2),
-    ], axis=1)
-    towers = np.stack([
-        rng.choice([-0.7, 0.0, 0.8], n_points // 2) + rng.normal(0, 0.05, n_points // 2),
-        rng.choice([-0.6, 0.3, 0.9], n_points // 2) + rng.normal(0, 0.05, n_points // 2),
-        rng.uniform(0, 0.8, n_points // 2),
-    ], axis=1)
-    pts = np.concatenate([ground, towers]).astype(np.float32)
-    cols = rng.uniform(0.1, 0.9, (n_points, 3)).astype(np.float32)
-
-    # GT model: the true points with small isotropic splats
-    from skyfall_gs_tpu.model.gaussians import create_from_points
-    from skyfall_gs_tpu.model.render import render as model_render
-
-    gt_state = create_from_points(pts, cols, capacity=1024, init_opacity=0.9)
-
-    cams = orbit_cameras([0, 0, 0.2], 40.0, 4.0, num_cams=n_views,
-                         width=size, height=size, fov_deg=60.0, uid_base=0)
-    bg = jnp.zeros(3)
-    views = []
-    rfn = jax.jit(lambda m, c: model_render(m, c, bg, with_3d_filter=False))
-    for i, cam in enumerate(cams):
-        out = rfn(gt_state, cam)
-        img = np.asarray(jnp.clip(out.color, 0, 1))
-        dep = np.asarray(out.depth)
-        cam = jax.tree.map(lambda x: x, cam)
-        cam = cam.replace(uid=jnp.int32(i))
-        views.append(View(camera=cam, image=img,
-                          mask=np.ones((size, size), np.float32),
-                          depth=dep, image_name=f"v{i}"))
-
-    # training initialization: noisy sparse subsample
-    sub = rng.choice(n_points, n_points // 2, replace=False)
-    init_pts = pts[sub] + rng.normal(0, 0.05, (len(sub), 3)).astype(np.float32)
-    init_cols = np.full((len(sub), 3), 0.5, np.float32)
-
-    scene = SceneData(
-        source_path=tmpdir, scene_type="synthetic",
-        points=init_pts, colors=init_cols,
-        train_views=views[:-2], test_views=views[-2:],
-        cameras_extent=4.4,
-    )
-    scene.build_groups()
-    return scene
 
 
 def main():
