@@ -176,7 +176,10 @@ def bin_gaussians(
     key = jnp.where(live, (tile << depth_bits) | e[:, 3],
                     t_total << depth_bits)
 
-    key_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1)
+    # is_stable=False: ties within (tile, quantized depth) may land in any
+    # order — the same tie class the CUDA rasterizer has at float-key
+    # resolution — and a stable sort makes XLA carry an extra iota payload.
+    key_s, gidx_s = jax.lax.sort((key, gidx), num_keys=1, is_stable=False)
     tile_s = (key_s >> depth_bits).astype(jnp.int32)
 
     # Per-tile ranges in the sorted order.

@@ -8,7 +8,7 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
   * The Pallas kernel grid iterates over 16x16 pixel tiles.  Within a tile it
     streams depth-sorted gaussian entries from HBM in chunks of ``CHUNK``
     with double-buffered async DMA.  Attributes live transposed as
-    ``(16, cap_pad)`` so a chunk DMA slices the lane dimension at
+    ``(24, cap_pad)`` so a chunk DMA slices the lane dimension at
     256-aligned offsets (the Mosaic DMA alignment rule).
   * Per chunk: pixels on sublanes (the tile's 256 pixels as a (256, 1)
     column), gaussians on lanes ((1, CHUNK) attribute rows) -> (256, CHUNK)
@@ -41,11 +41,20 @@ projection before it and the gather into sorted order are plain JAX, so XLA
 autodiff routes gradients to the 3D parameters (including duplicate-entry
 accumulation through the gather transpose) automatically.
 
-Attribute row layout (16, cap_pad):
-  rows 0..6  blend channels (r, g, b, depth, nx, ny, nz)
-  row  7     zero pad
-  rows 8..13 mx, my, conic_a, conic_b, conic_c, opacity
-  rows 14,15 zero pad (backward: AbsGS |dmx|, |dmy|)
+Attribute row layout (24, cap_pad) — 24 because Mosaic requires sublane
+extents in multiples of 8:
+  rows 0..6   blend channels (r, g, b, depth, nx, ny, nz)
+  row  7      zero pad
+  rows 8..13  mx, my, conic_a, conic_b, conic_c, opacity
+  rows 14,15  zero pad
+  rows 16,17  AbsGS dummy (zeros in; backward emits |dmx|, |dmy| here)
+  rows 18..23 zero pad
+
+The AbsGS rows ride in the SAME table as the real attributes so the whole
+backward needs exactly ONE gather and ONE transpose scatter-add: profiled
+on TPU, a scatter-add's cost is per-index (~13 ns/index), not per-byte —
+a separate 2-row scatter for the AbsGS grads costs the same ~10 ms as the
+16-row one, so merging them halves the dominant cost of the whole step.
 """
 
 from __future__ import annotations
@@ -63,7 +72,7 @@ from skyfall_gs_tpu.ops.binning import TILE, bin_gaussians, num_tiles
 from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 P = TILE * TILE      # pixels per tile = 256
-NA = 16              # attribute rows per entry
+NA = 24              # attribute rows per entry (16 + 2 AbsGS + 6 sublane pad)
 CHUNK = 128          # gaussian entries per inner iteration
 # (256 doubles per-entry MXU prefix work: +18 ms/step; 64 violates the
 #  128-lane DMA slice alignment)
@@ -343,9 +352,12 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
             dout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (8, G)
 
+        zrow2 = jnp.zeros((2, CHUNK), jnp.float32)
+        zrow6 = jnp.zeros((6, CHUNK), jnp.float32)
         dchunk = jnp.concatenate(
-            [dcol, dmx, dmy, dca, dcb, dcc, dop, absx, absy], axis=0
-        )                                                     # (16, G)
+            [dcol, dmx, dmy, dca, dcb, dcc, dop, zrow2, absx, absy, zrow6],
+            axis=0,
+        )                                                     # (24, G)
 
         @pl.when(c >= 2)
         def _():
@@ -482,24 +494,27 @@ def _bwd_call(cfg: _Config, attrs, start, count, fresh, offx, offy, outres,
 def _make_composite(cfg: _Config):
     """Differentiable composite over the packed sorted entry stream.
 
-    ``attrs``/``absd`` are gathered by binning.gather_idx OUTSIDE this
-    boundary.  The backward kernel writes per-entry gradient rows straight
-    back in the same packed entry order (boundary chunks accumulate, see
-    kernel), so its output IS the cotangent of the packed attribute gather
-    (rows 7/14/15 re-zeroed; 14:16 routed to the AbsGS dummy), and
-    per-gaussian accumulation happens in the attribute gather's own
-    transpose — the canonical scatter-add XLA lowers well.  (Design
-    history: any scheme that re-orders the gradient stream — a
+    ``attrs`` — the 24-row table INCLUDING the AbsGS dummy rows — is
+    gathered by binning.gather_idx OUTSIDE this boundary, as one gather.
+    The backward kernel writes per-entry gradient rows straight back in
+    the same packed entry order (boundary chunks accumulate, see kernel),
+    so its output IS the cotangent of the packed attribute gather (rows
+    7/14/15 re-zeroed; AbsGS grads in rows 16/17), and per-gaussian
+    accumulation for ALL rows — real attributes and AbsGS alike — happens
+    in that single gather's transpose: exactly one scatter-add per step.
+    (Design history: scatter-adds cost ~13 ns/index regardless of row
+    count, so the previous separate 2-row AbsGS scatter doubled the
+    dominant cost; and any scheme that re-orders the gradient stream — a
     gradient-buffer layout plus a pickup gather, or a materialized
     slot-indexed attribute stream — pays a ~6 ms wide gather or an ~8.5 ms
     1-column gather at 786k entries; see CLAUDE.md.)
     """
     @jax.custom_vjp
-    def composite(attrs, absd, start, count, fresh, offx, offy):
-        del absd, fresh
+    def composite(attrs, start, count, fresh, offx, offy):
+        del fresh
         return _fwd_call(cfg, attrs, start, count, offx, offy)
 
-    def fwd(attrs, absd, start, count, fresh, offx, offy):
+    def fwd(attrs, start, count, fresh, offx, offy):
         out, tfin = _fwd_call(cfg, attrs, start, count, offx, offy)
         return (out, tfin), (attrs, start, count, fresh, offx, offy, out, tfin)
 
@@ -508,10 +523,9 @@ def _make_composite(cfg: _Config):
         dout, dtfin = cot
         dpadded = _bwd_call(cfg, attrs, start, count, fresh, offx, offy,
                             out, tfin, dout, dtfin)        # (NA, cap_pad)
-        d_main = dpadded.at[14:, :].set(0.0).at[7, :].set(0.0)
-        d_abs = dpadded[14:16, :]
+        d_attrs = dpadded.at[14:16, :].set(0.0).at[7, :].set(0.0)
         f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
-        return (d_main, d_abs, f0(start), f0(count), f0(fresh),
+        return (d_attrs, f0(start), f0(count), f0(fresh),
                 jnp.zeros_like(offx), jnp.zeros_like(offy))
 
     composite.defvjp(fwd, bwd)
@@ -583,17 +597,18 @@ def composite_tiled(
     )
     gi = binned.gather_idx
 
-    # (N+1, 16) with a trailing dummy row that absorbs dead-slot gradients.
+    # (N+1, 18) with a trailing dummy row that absorbs dead-slot gradients.
+    # The AbsGS dummy rides as the last two columns so its gradients share
+    # the attribute gather's single transpose scatter-add (see module doc).
+    if mean2d_abs_dummy is None:
+        mean2d_abs_dummy = jnp.zeros((n, 2), mean2d.dtype)
     attrs = jnp.concatenate(
         [channels, jnp.zeros((n, 1), channels.dtype), mean2d, conic,
-         opacity[:, None], jnp.zeros((n, 2), channels.dtype)],
+         opacity[:, None], jnp.zeros((n, 2), channels.dtype),
+         mean2d_abs_dummy, jnp.zeros((n, 6), channels.dtype)],
         axis=1,
     )
     attrs = jnp.pad(attrs, ((0, 1), (0, 0)))
-
-    if mean2d_abs_dummy is None:
-        mean2d_abs_dummy = jnp.zeros((n, 2), mean2d.dtype)
-    absd = jnp.pad(mean2d_abs_dummy, ((0, 1), (0, 0)))       # (N+1, 2)
 
     hp, wp = tiles_y * TILE, tiles_x * TILE
     if subpixel_offset is None:
@@ -617,10 +632,9 @@ def composite_tiled(
         out, tfin = _fwd_call(cfg, attrs.T[:, gi], binned.tile_start,
                               binned.tile_count, offx, offy)
     else:
-        attrs_sorted = attrs.T[:, gi]                        # (16, cap_pad)
-        absd_sorted = absd.T[:, gi]
+        attrs_sorted = attrs.T[:, gi]                        # (24, cap_pad)
         out, tfin = _make_composite(cfg)(
-            attrs_sorted, absd_sorted, binned.tile_start, binned.tile_count,
+            attrs_sorted, binned.tile_start, binned.tile_count,
             binned.write_fresh, offx, offy,
         )                                                    # (T, 8, P), (T*P, 1)
 
