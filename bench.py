@@ -35,7 +35,7 @@ def main():
     from skyfall_gs_tpu.config import OptimizationConfig
     from skyfall_gs_tpu.core.camera import orbit_cameras
     from skyfall_gs_tpu.model.gaussians import create_from_points
-    from skyfall_gs_tpu.train.step import init_train_state, make_train_step
+    from skyfall_gs_tpu.train.step import init_train_state
 
     rng = np.random.default_rng(0)
     # satellite-like: disk of radius ~256 with structure height
@@ -59,11 +59,13 @@ def main():
     depth = jnp.asarray(rng.uniform(1, 500, (IMG, IMG)), jnp.float32)
     bg = jnp.zeros(3)
 
+    from skyfall_gs_tpu.train.step import make_train_multistep
+
     opt_cfg = OptimizationConfig()
 
     # Right-size the binning capacity exactly like the Trainer does
     # (train/loop.py _update_bin_capacity): worst view's measured entry
-    # count x1.3, 128k buckets.  The library default (4x splats) would
+    # count x1.2, 64k buckets.  The library default (4x splats) would
     # silently overflow at this workload — ~540k duplicated entries vs a
     # 400k cap — and a bench that drops 26% of entries measures a lighter
     # step than production runs.
@@ -83,35 +85,48 @@ def main():
 
     worst = max(int(n_entries(ts.model.params, ts.model.aux.filter_3d,
                               ts.model.aux.alive, c)) for c in cams)
-    bucket = 128 * 1024
-    bin_capacity = max(-(-int(worst * 1.3) // bucket) * bucket, bucket)
+    bucket = 64 * 1024
+    bin_capacity = max(-(-int(worst * 1.2) // bucket) * bucket, bucket)
 
-    step = make_train_step(opt_cfg, use_depth=True, bin_capacity=bin_capacity)
+    # The production inner loop: the Trainer scan-fuses windows of
+    # pipe.fuse_steps consecutive steps into one dispatch (host events
+    # break windows).  Drive the same fused path here.
+    FUSE = 8
+    multi = make_train_multistep(opt_cfg, use_depth=True,
+                                 bin_capacity=bin_capacity)
+    cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    images = jnp.broadcast_to(gt, (len(cams),) + gt.shape)
+    masks = jnp.broadcast_to(mask, (len(cams),) + mask.shape)
+    depths = jnp.broadcast_to(depth, (len(cams),) + depth.shape)
+    idxs = jnp.arange(FUSE, dtype=jnp.int32) % len(cams)
 
     # Pre-split keys and hoist traced scalars: an eagerly dispatched
     # jax.random.split chained per iteration costs ~35 ms/step through the
     # axon tunnel, and fresh jnp.float32() scalars add per-step transfers —
     # neither is part of the training step (the Trainer drives the same
     # way).
-    keys = jax.random.split(jax.random.PRNGKey(0), WARMUP + MEASURE)
-    xyz_lr = jnp.float32(1e-4)
-    lam_o = jnp.float32(0.1)
+    n_win = (WARMUP + MEASURE) // FUSE
+    keys = jax.random.split(jax.random.PRNGKey(0), n_win * FUSE).reshape(
+        n_win, FUSE, -1)
+    xyz_lrs = jnp.full((FUSE,), 1e-4, jnp.float32)
+    lams = jnp.full((FUSE,), 0.1, jnp.float32)
 
-    for i in range(WARMUP):
-        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg,
-                           keys[i], xyz_lr, lam_o)
+    warm_wins = WARMUP // FUSE
+    for i in range(warm_wins):
+        ts, metrics = multi(ts, cam_stack, images, masks, depths, idxs, bg,
+                            keys[i], xyz_lrs, lams)
     # sync by reading a scalar back: block_until_ready does not actually
     # synchronize through the axon tunnel
     float(np.asarray(ts.model.params.xyz[0, 0]))
 
     t0 = time.perf_counter()
-    for i in range(MEASURE):
-        ts, metrics = step(ts, cams[i % len(cams)], gt, mask, depth, bg,
-                           keys[WARMUP + i], xyz_lr, lam_o)
+    for i in range(warm_wins, n_win):
+        ts, metrics = multi(ts, cam_stack, images, masks, depths, idxs, bg,
+                            keys[i], xyz_lrs, lams)
     float(np.asarray(ts.model.params.xyz[0, 0]))
     dt = time.perf_counter() - t0
 
-    its = MEASURE / dt
+    its = (n_win - warm_wins) * FUSE / dt
 
     result = {
         "metric": "stage1_train_iters_per_sec_512px_100k",

@@ -80,6 +80,12 @@ class PipelineConfig:
     rasterizer_backend: str = "tiled"          # "tiled" | "reference"
     bin_capacity: int = 0                      # 0 = auto heuristic
     gaussian_capacity: int = 0                 # 0 = auto (1.5x init points)
+    # Fuse up to this many consecutive training steps into one lax.scan
+    # dispatch (TPU dispatch through the runtime costs ~1.4 ms/call; fused
+    # windows amortize it).  Windows never cross host events (SH bump,
+    # pseudo-view supervision, densify, opacity reset, logging milestones)
+    # and fall back to single steps when the GUI is attached.  1 = off.
+    fuse_steps: int = 8
 
 
 @dataclass

@@ -156,21 +156,33 @@ class Trainer:
     def _get_step_fn(self, use_depth: bool, use_pseudo: bool):
         key = (use_depth, use_pseudo, self.bin_capacity)
         if key not in self._step_fns:
-            lpips_fn = None
-            if self.opt_cfg.use_lpips_loss:
-                lpips_fn = self._get_lpips()._jitted
             self._step_fns[key] = make_train_step(
-                self.opt_cfg,
-                kernel_size=self.model_cfg.kernel_size,
-                backend=self.pipe_cfg.rasterizer_backend,
-                ray_jitter=self.model_cfg.ray_jitter,
-                resample_gt=self.model_cfg.resample_gt_image,
-                use_depth=use_depth,
-                use_pseudo=use_pseudo,
-                bin_capacity=self.bin_capacity,
-                lpips_fn=lpips_fn,
-            )
+                self.opt_cfg, use_pseudo=use_pseudo,
+                **self._step_kwargs(use_depth))
         return self._step_fns[key]
+
+    def _get_multistep_fn(self, use_depth: bool):
+        key = ("multi", use_depth, self.bin_capacity)
+        if key not in self._step_fns:
+            from skyfall_gs_tpu.train.step import make_train_multistep
+
+            self._step_fns[key] = make_train_multistep(
+                self.opt_cfg, **self._step_kwargs(use_depth))
+        return self._step_fns[key]
+
+    def _step_kwargs(self, use_depth: bool):
+        lpips_fn = None
+        if self.opt_cfg.use_lpips_loss:
+            lpips_fn = self._get_lpips()._jitted
+        return dict(
+            kernel_size=self.model_cfg.kernel_size,
+            backend=self.pipe_cfg.rasterizer_backend,
+            ray_jitter=self.model_cfg.ray_jitter,
+            resample_gt=self.model_cfg.resample_gt_image,
+            use_depth=use_depth,
+            bin_capacity=self.bin_capacity,
+            lpips_fn=lpips_fn,
+        )
 
     def _get_lpips(self):
         """LPIPS photometric loss backend (reference train.py:80-85) —
@@ -218,11 +230,25 @@ class Trainer:
             worst = max(worst, int(self._entry_counters[key](
                 state.model.params, state.model.aux.filter_3d,
                 state.model.aux.alive, cam)))
-        bucket = 128 * 1024
-        cap = -(-int(worst * 1.3) // bucket) * bucket
+        # 1.2x margin: counts are re-measured right after every densify (the
+        # only fast-growth event); between events they drift slowly with the
+        # params, and an undershoot is surfaced as an overflow warning and
+        # healed at the next densify.  64k buckets + the caller's [0.5, 1.0]
+        # hysteresis bound recompiles.  Dead capacity is pure cost: the
+        # backward's transpose scatter-add prices every padded entry
+        # (~13 ns/index) whether live or not.
+        bucket = 64 * 1024
+        cap = -(-int(worst * 1.2) // bucket) * bucket
         self.bin_capacity = max(cap, bucket)
 
+    _pick_pushback = None
+
     def _pick_view(self):
+        # A fused-window lookahead that hit a different resolution group is
+        # buffered here so the iid sampling stream is preserved.
+        if self._pick_pushback is not None:
+            p, self._pick_pushback = self._pick_pushback, None
+            return p
         key, i = self.py_rng.choice(self.flat_index)
         if (self.model_cfg.sample_more_highres and self.highres_index
                 and self.py_rng.random() < 0.3):
@@ -290,7 +316,34 @@ class Trainer:
         prof_start = first_iter + 20 if self.profile_dir else -1
         prof_stop = prof_start + self.profile_steps if self.profile_dir else -1
 
-        for iteration in range(first_iter, iterations + 1):
+        def pseudo_at(j: int) -> bool:
+            return (o.lambda_pseudo_depth > 0
+                    and self.depth_predictor is not None
+                    and j % o.sample_pseudo_interval == 0
+                    and o.start_sample_pseudo < j < o.end_sample_pseudo)
+
+        def pre_event(j: int) -> bool:
+            # host work that must run BEFORE step j
+            return j % 1000 == 0 or pseudo_at(j)
+
+        def post_event(j: int) -> bool:
+            # host work that must run right AFTER step j
+            if j < o.densify_until_iter:
+                if (j > o.densify_from_iter
+                        and j % o.densification_interval == 0):
+                    return True
+                if j % o.opacity_reset_interval == 0 or (
+                        cfg.white_background and j == o.densify_from_iter):
+                    return True
+            elif j % 100 == 0 and j < iterations - 100:
+                return True
+            return (j in test_iterations or j in save_iterations
+                    or j in checkpoint_iterations
+                    or j == prof_start or j == prof_stop)
+
+        fuse = max(int(self.pipe_cfg.fuse_steps), 1)
+        iteration = first_iter
+        while iteration <= iterations:
             if self.gui is not None:
                 self._poll_gui(state, iteration < iterations)
 
@@ -305,35 +358,82 @@ class Trainer:
                 state = state.replace(model=state.model.one_up_sh_degree())
 
             g, i = self._pick_view()
-            cam, image, mask, depth = g.select(i)
             use_depth = o.lambda_depth > 0 and g.has_depth
+            use_pseudo = pseudo_at(iteration)
 
-            # pseudo-view monodepth supervision
-            use_pseudo = (
-                o.lambda_pseudo_depth > 0
-                and self.depth_predictor is not None
-                and iteration % o.sample_pseudo_interval == 0
-                and o.start_sample_pseudo < iteration < o.end_sample_pseudo
-            )
-            pseudo_args = ()
-            if use_pseudo:
-                if not pseudo_stack:
-                    pseudo_stack = self._gen_pseudo_stack(iteration)
-                pcam = pseudo_stack.pop(
-                    self.py_rng.randrange(len(pseudo_stack)))
-                pout = self._eval_render(state.model, pcam, self.bg)
-                pdepth = self.depth_predictor(
-                    np.asarray(jnp.clip(pout.color, 0, 1)))
-                scale = min((iteration - o.start_sample_pseudo) / 500.0, 1.0)
-                pseudo_args = (pcam, jnp.asarray(pdepth), jnp.float32(scale))
+            # Scan-fuse consecutive steps into one dispatch when no host
+            # event (and no view-group switch) interrupts the window.
+            w = 1
+            if fuse > 1 and not use_pseudo and self.gui is None:
+                picks = [i]
+                while (len(picks) < fuse
+                       and iteration + len(picks) <= iterations
+                       and not pre_event(iteration + len(picks))
+                       and not post_event(iteration + len(picks) - 1)):
+                    g2, i2 = self._pick_view()
+                    if g2 is not g:
+                        self._pick_pushback = (g2, i2)
+                        break
+                    picks.append(i2)
+                w = len(picks)
 
-            self.rng, krng = jax.random.split(self.rng)
-            step_fn = self._get_step_fn(use_depth, use_pseudo)
-            state, metrics = step_fn(
-                state, cam, image, mask, depth, self.bg, krng,
-                jnp.float32(xyz_sched(iteration)), jnp.float32(lambda_opacity),
-                *pseudo_args,
-            )
+            if w > 1:
+                lams = [lambda_opacity]
+                for _ in range(w - 1):
+                    if cooldown is not None:
+                        if cooldown > 0:
+                            cooldown -= 1
+                        else:
+                            cooldown = None
+                            lambda_opacity = o.lambda_opacity
+                    lams.append(lambda_opacity)
+                # Same per-step key sequence as the single-step path, so
+                # fused and unfused training are step-for-step identical.
+                ks = []
+                for _ in range(w):
+                    self.rng, krng = jax.random.split(self.rng)
+                    ks.append(krng)
+                multi_fn = self._get_multistep_fn(use_depth)
+                state, metrics_stack = multi_fn(
+                    state, g.cameras, g.images, g.masks, g.depths,
+                    jnp.asarray(picks, jnp.int32), self.bg,
+                    jnp.stack(ks),
+                    jnp.asarray([xyz_sched(iteration + k) for k in range(w)],
+                                jnp.float32),
+                    jnp.asarray(lams, jnp.float32),
+                )
+                if self.logger:
+                    for k in range(w):
+                        self.logger.log_step(
+                            iteration + k,
+                            jax.tree.map(lambda x, kk=k: x[kk], metrics_stack),
+                            time.time() - t_start)
+                metrics = jax.tree.map(lambda x: x[w - 1], metrics_stack)
+                iteration += w - 1  # post-step processing runs for the last
+            else:
+                cam, image, mask, depth = g.select(i)
+                pseudo_args = ()
+                if use_pseudo:
+                    if not pseudo_stack:
+                        pseudo_stack = self._gen_pseudo_stack(iteration)
+                    pcam = pseudo_stack.pop(
+                        self.py_rng.randrange(len(pseudo_stack)))
+                    pout = self._eval_render(state.model, pcam, self.bg)
+                    pdepth = self.depth_predictor(
+                        np.asarray(jnp.clip(pout.color, 0, 1)))
+                    scale = min(
+                        (iteration - o.start_sample_pseudo) / 500.0, 1.0)
+                    pseudo_args = (pcam, jnp.asarray(pdepth),
+                                   jnp.float32(scale))
+
+                self.rng, krng = jax.random.split(self.rng)
+                step_fn = self._get_step_fn(use_depth, use_pseudo)
+                state, metrics = step_fn(
+                    state, cam, image, mask, depth, self.bg, krng,
+                    jnp.float32(xyz_sched(iteration)),
+                    jnp.float32(lambda_opacity),
+                    *pseudo_args,
+                )
 
             # ---- densification ------------------------------------------
             if iteration < o.densify_until_iter:
@@ -361,7 +461,7 @@ class Trainer:
                 jax.block_until_ready(state.model.params.xyz)
                 jax.profiler.stop_trace()
                 print(f"wrote profiler trace to {self.profile_dir}", flush=True)
-            if self.logger:
+            if self.logger and w == 1:  # fused windows logged per-step above
                 self.logger.log_step(iteration, metrics, time.time() - t_start)
             if iteration in test_iterations:
                 self._report(state, iteration)
@@ -370,6 +470,7 @@ class Trainer:
             if iteration in checkpoint_iterations:
                 path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
                 save_checkpoint(path, state, iteration)
+            iteration += 1
 
         if self.logger:
             self.logger.flush()
