@@ -64,14 +64,13 @@ def main():
     opt_cfg = OptimizationConfig()
 
     # Right-size the binning capacity exactly like the Trainer does
-    # (train/loop.py _update_bin_capacity): worst view's measured entry
-    # count x1.2, 64k buckets.  The library default (4x splats) would
-    # silently overflow at this workload — ~540k duplicated entries vs a
-    # 400k cap — and a bench that drops 26% of entries measures a lighter
-    # step than production runs.
+    # (binning.capacity_for_entries is the shared formula).  The library
+    # default (4x splats) would silently overflow at this workload — ~540k
+    # duplicated entries vs a 400k cap — and a bench that drops 26% of
+    # entries measures a lighter step than production runs.
     from skyfall_gs_tpu.model.gaussians import (
         opacity_with_3d_filter, scaling_with_3d_filter)
-    from skyfall_gs_tpu.ops.binning import count_entries
+    from skyfall_gs_tpu.ops.binning import capacity_for_entries, count_entries
     from skyfall_gs_tpu.ops.projection import project_gaussians
 
     @jax.jit
@@ -85,8 +84,7 @@ def main():
 
     worst = max(int(n_entries(ts.model.params, ts.model.aux.filter_3d,
                               ts.model.aux.alive, c)) for c in cams)
-    bucket = 64 * 1024
-    bin_capacity = max(-(-int(worst * 1.2) // bucket) * bucket, bucket)
+    bin_capacity = capacity_for_entries(worst)
 
     # The production inner loop: the Trainer scan-fuses windows of
     # pipe.fuse_steps consecutive steps into one dispatch (host events

@@ -210,7 +210,7 @@ def extra_probes():
         depth_pearson_loss, opacity_entropy_loss, photometric_loss, psnr)
     from skyfall_gs_tpu.model.gaussians import get_opacity
 
-    which = set(sys.argv[1:])
+    which = set(sys.argv[1:]) - {"extra"}   # 'extra' is the mode flag
 
     def want(name):
         return not which or name in which

@@ -102,6 +102,22 @@ def count_entries(mean2d, radius, height: int, width: int,
     return jnp.sum(_tile_rects(mean2d, radius, tiles_y, tiles_x, radius_xy)[3])
 
 
+def capacity_for_entries(worst_entries: int) -> int:
+    """Production capacity for a measured worst-view entry count.
+
+    1.2x margin: counts are re-measured right after every densify (the only
+    fast-growth event); between events they drift slowly with the params,
+    and an undershoot is surfaced as an overflow warning and healed at the
+    next re-measure.  64k buckets bound recompiles.  Dead capacity is pure
+    cost — the backward's transpose scatter-add prices every padded entry
+    (~13 ns/index) whether live or not — so the margin is deliberately
+    tight.  Single source of truth for the Trainer AND bench.py (the bench
+    must measure exactly the capacity production trains with).
+    """
+    bucket = 64 * 1024
+    return max(-(-int(worst_entries * 1.2) // bucket) * bucket, bucket)
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,

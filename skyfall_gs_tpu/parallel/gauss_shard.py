@@ -266,9 +266,8 @@ def make_gauss_sharded_train_step(
     # appearance camera table / MLP and 0-D leaves (step, Adam count)
     # replicate.
     capacity = template_state.model.params.capacity
-    state_spec = jax.tree.map(
-        lambda x: P(axis) if (getattr(x, "ndim", 0) >= 1
-                              and x.shape[0] == capacity) else P(),
+    state_spec = jax.tree_util.tree_map_with_path(
+        lambda p, x: P(axis) if _is_splat_leaf(p, x, capacity) else P(),
         template_state)
 
     sharded = shard_map(
@@ -280,6 +279,20 @@ def make_gauss_sharded_train_step(
     return jax.jit(sharded)
 
 
+# Leaves that replicate no matter their shape: the appearance camera table
+# is camera-indexed and the MLP is global, so a scene where num_cameras (or
+# a layer width) happens to equal the splat capacity must not shard them.
+_REPLICATED_PATH_PARTS = ("appearance_embeddings", "appearance_mlp")
+
+
+def _is_splat_leaf(path, x, capacity: int) -> bool:
+    from jax.tree_util import keystr
+
+    if any(part in keystr(path) for part in _REPLICATED_PATH_PARTS):
+        return False
+    return getattr(x, "ndim", 0) >= 1 and x.shape[0] == capacity
+
+
 def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
     """Device-put a TrainState with per-splat leaves sharded along axis
     (appearance camera table / MLP replicate)."""
@@ -287,9 +300,9 @@ def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
 
     capacity = state.model.params.capacity
 
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+    def put(path, x):
+        if _is_splat_leaf(path, x, capacity):
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree.map(put, state)
+    return jax.tree_util.tree_map_with_path(put, state)

@@ -57,8 +57,19 @@ def initialize_distributed(
         num_processes = int(os.environ[ENV_NUM_PROCESSES])
     if process_id is None and ENV_PROCESS_ID in os.environ:
         process_id = int(os.environ[ENV_PROCESS_ID])
-    if not coordinator_address or (num_processes or 1) <= 1:
-        return False
+    if not coordinator_address and num_processes is None and process_id is None:
+        return False            # unconfigured: single-process run
+    if num_processes is not None and num_processes <= 1:
+        return False            # explicitly single-process
+    if not coordinator_address or num_processes is None or process_id is None:
+        # A half-configured pod must fail loudly: silently training as a
+        # lone process while the rest of the pod waits at the coordinator
+        # is a partition, not a fallback.
+        raise RuntimeError(
+            "partial multi-host configuration: need all of "
+            f"{ENV_COORDINATOR}/{ENV_NUM_PROCESSES}/{ENV_PROCESS_ID} "
+            f"(got coordinator={coordinator_address!r}, "
+            f"num_processes={num_processes!r}, process_id={process_id!r})")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -187,13 +187,22 @@ class FlowEditRefiner:
         seed: int = 0,
         batch_size: int = 8,
         sigmas=None,
+        shape_fns: Optional[Callable] = None,
     ):
+        """``shape_fns(height, width) -> (encode, decode, velocity)`` —
+        optional per-image-shape function factory.  The velocity field is a
+        static argument of the jitted ODE, so a DISTINCT closure per image
+        shape is what keys the jit caches correctly (two aspect ratios can
+        share a token count; baking the latent grid into trace-time state
+        would silently reuse the wrong RoPE grid for the second one).
+        Must be cached by the provider (e.g. lru_cache) so repeated shapes
+        reuse compiled code."""
         self.save_path = save_path
         self.num_steps = num_steps
         self.batch_size = batch_size
         self.sigmas = sigmas
         self.rng = jax.random.PRNGKey(seed)
-        if velocity_fn is None:
+        if velocity_fn is None and shape_fns is None:
             raise RuntimeError(
                 f"No local {model_type} flow-matching weights are available "
                 "in this environment (no network egress), and no velocity_fn "
@@ -203,6 +212,7 @@ class FlowEditRefiner:
         self.encode = encode_fn if encode_fn is not None else (lambda x: x)
         self.decode = decode_fn if decode_fn is not None else (lambda z: z)
         self.velocity_fn = velocity_fn
+        self.shape_fns = shape_fns
         self.src_cond = src_cond
         self.tar_cond = tar_cond
 
@@ -230,11 +240,16 @@ class FlowEditRefiner:
                 batch = list(batch) + [batch[-1]] * pad
                 nm = jnp.concatenate([nm, jnp.zeros(pad, jnp.int32)])
             self.rng, k = jax.random.split(self.rng)
-            z = self.encode(jnp.stack([jnp.asarray(im) for im in batch]))
+            if self.shape_fns is not None:
+                hh, ww = np.asarray(batch[0]).shape[:2]
+                enc, dec_fn, vel = self.shape_fns(hh, ww)
+            else:
+                enc, dec_fn, vel = self.encode, self.decode, self.velocity_fn
+            z = enc(jnp.stack([jnp.asarray(im) for im in batch]))
             z2 = flow_edit_ode_batch(
-                self.velocity_fn, z, self.src_cond, self.tar_cond, k, nm,
+                vel, z, self.src_cond, self.tar_cond, k, nm,
                 num_steps=self.num_steps, n_min=n_min, n_max=n_max,
                 n_avg=n_avg, sigmas=self.sigmas)
-            dec = np.asarray(self.decode(z2))
+            dec = np.asarray(dec_fn(z2))
             out.extend(dec[: len(dec) - pad if pad else len(dec)])
         return out

@@ -159,29 +159,41 @@ def build_flux_refiner(
         src_cond = src_cond or d_src
         tar_cond = tar_cond or d_tar
 
-    latent_hw = {}
+    # One (encode, decode, velocity) closure TRIPLE per image shape,
+    # lru-cached: the velocity field is a static argument of the jitted
+    # FlowEdit ODE, so the per-shape closure identity is what keys its jit
+    # cache.  (Two aspect ratios can produce the same packed token count —
+    # the latent grid and RoPE ids must not leak between them via
+    # trace-time state.)
+    import functools
 
-    @jax.jit
-    def encode_fn(imgs: jnp.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) in [0, 1] -> (B, L, 4*latent_ch) packed tokens."""
-        z = vae_encode(vae_params, vae_cfg, imgs * 2.0 - 1.0)
-        tok, _ = pack_latents(z)
-        latent_hw["hw"] = (z.shape[1], z.shape[2])
-        return tok
+    factor = 2 ** (len(vae_cfg.ch_mult) - 1)
 
-    @jax.jit
-    def decode_fn(tok: jnp.ndarray) -> jnp.ndarray:
-        h, w = latent_hw["hw"]
-        z = unpack_latents(tok, h, w)
-        img = vae_decode(vae_params, vae_cfg, z)
-        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    @functools.lru_cache(maxsize=None)
+    def shape_fns(height: int, width: int):
+        lh, lw = height // factor, width // factor
+        ys, xs = np.meshgrid(np.arange(lh // 2), np.arange(lw // 2),
+                             indexing="ij")
+        ids = jnp.asarray(
+            np.stack([np.zeros_like(ys), ys, xs], -1).reshape(-1, 3))
 
-    def velocity_fn(tok: jnp.ndarray, t, cond: FluxCond) -> jnp.ndarray:
-        h, w = latent_hw["hw"]
-        ys, xs = jnp.meshgrid(jnp.arange(h // 2), jnp.arange(w // 2),
-                              indexing="ij")
-        ids = jnp.stack([jnp.zeros_like(ys), ys, xs], -1).reshape(-1, 3)
-        return flux_velocity(transformer_params, cfg, tok, ids, cond, t)
+        @jax.jit
+        def encode_fn(imgs: jnp.ndarray) -> jnp.ndarray:
+            """(B, H, W, 3) in [0, 1] -> (B, L, 4*latent_ch) tokens."""
+            z = vae_encode(vae_params, vae_cfg, imgs * 2.0 - 1.0)
+            tok, _ = pack_latents(z)
+            return tok
+
+        @jax.jit
+        def decode_fn(tok: jnp.ndarray) -> jnp.ndarray:
+            z = unpack_latents(tok, lh, lw)
+            img = vae_decode(vae_params, vae_cfg, z)
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        def velocity_fn(tok: jnp.ndarray, t, cond: FluxCond) -> jnp.ndarray:
+            return flux_velocity(transformer_params, cfg, tok, ids, cond, t)
+
+        return encode_fn, decode_fn, velocity_fn
 
     sigmas = None
     if use_shifted_sigmas and image_size is not None:
@@ -191,9 +203,7 @@ def build_flux_refiner(
     return FlowEditRefiner(
         save_path=save_path,
         model_type="FLUX",
-        encode_fn=encode_fn,
-        decode_fn=decode_fn,
-        velocity_fn=velocity_fn,
+        shape_fns=shape_fns,
         src_cond=src_cond,
         tar_cond=tar_cond,
         num_steps=num_steps,

@@ -230,25 +230,23 @@ class Trainer:
             worst = max(worst, int(self._entry_counters[key](
                 state.model.params, state.model.aux.filter_3d,
                 state.model.aux.alive, cam)))
-        # 1.2x margin: counts are re-measured right after every densify (the
-        # only fast-growth event); between events they drift slowly with the
-        # params, and an undershoot is surfaced as an overflow warning and
-        # healed at the next densify.  64k buckets + the caller's [0.5, 1.0]
-        # hysteresis bound recompiles.  Dead capacity is pure cost: the
-        # backward's transpose scatter-add prices every padded entry
-        # (~13 ns/index) whether live or not.
-        bucket = 64 * 1024
-        cap = -(-int(worst * 1.2) // bucket) * bucket
-        self.bin_capacity = max(cap, bucket)
+        from skyfall_gs_tpu.ops.binning import capacity_for_entries
 
-    _pick_pushback = None
+        self.bin_capacity = capacity_for_entries(worst)
+
+    def _push_back_pick(self, pick) -> None:
+        """Return an unconsumed lookahead pick to the front of the stream."""
+        if not hasattr(self, "_pick_pushbacks"):
+            self._pick_pushbacks = []
+        self._pick_pushbacks.append(pick)
 
     def _pick_view(self):
-        # A fused-window lookahead that hit a different resolution group is
-        # buffered here so the iid sampling stream is preserved.
-        if self._pick_pushback is not None:
-            p, self._pick_pushback = self._pick_pushback, None
-            return p
+        # Fused-window lookaheads that were not consumed (group switch, or
+        # a short window falling back to single steps) are buffered so the
+        # iid sampling stream is preserved.
+        stack = getattr(self, "_pick_pushbacks", None)
+        if stack:
+            return stack.pop()
         key, i = self.py_rng.choice(self.flat_index)
         if (self.model_cfg.sample_more_highres and self.highres_index
                 and self.py_rng.random() < 0.3):
@@ -363,6 +361,10 @@ class Trainer:
 
             # Scan-fuse consecutive steps into one dispatch when no host
             # event (and no view-group switch) interrupts the window.
+            # ONLY full windows fuse: every distinct window length is its
+            # own jit signature (a 30-90 s remote compile), so remainder
+            # steps before an event run on the already-compiled single-step
+            # path instead of minting {2..fuse-1}-length signatures.
             w = 1
             if fuse > 1 and not use_pseudo and self.gui is None:
                 picks = [i]
@@ -372,10 +374,16 @@ class Trainer:
                        and not post_event(iteration + len(picks) - 1)):
                     g2, i2 = self._pick_view()
                     if g2 is not g:
-                        self._pick_pushback = (g2, i2)
+                        self._push_back_pick((g2, i2))
                         break
                     picks.append(i2)
-                w = len(picks)
+                if len(picks) == fuse:
+                    w = fuse
+                else:
+                    # fall back to a single step; return the lookahead
+                    # picks to the stream in order (the pushback chains)
+                    for p in reversed(picks[1:]):
+                        self._push_back_pick((g, p))
 
             if w > 1:
                 lams = [lambda_opacity]

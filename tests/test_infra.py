@@ -186,12 +186,27 @@ class TestMultiHost:
     def test_single_process_noop(self, monkeypatch):
         from skyfall_gs_tpu.parallel import mesh
 
-        monkeypatch.delenv(mesh.ENV_COORDINATOR, raising=False)
+        for v in (mesh.ENV_COORDINATOR, mesh.ENV_NUM_PROCESSES,
+                  mesh.ENV_PROCESS_ID):
+            monkeypatch.delenv(v, raising=False)
         assert mesh.initialize_distributed() is False
         # configured but single process: still a no-op
         monkeypatch.setenv(mesh.ENV_COORDINATOR, "localhost:1")
         monkeypatch.setenv(mesh.ENV_NUM_PROCESSES, "1")
         assert mesh.initialize_distributed() is False
+
+    def test_partial_config_fails_loudly(self, monkeypatch):
+        """A host with half a pod config must error, not silently train as
+        an independent single process while the pod waits for it."""
+        from skyfall_gs_tpu.parallel import mesh
+
+        for v in (mesh.ENV_COORDINATOR, mesh.ENV_NUM_PROCESSES,
+                  mesh.ENV_PROCESS_ID):
+            monkeypatch.delenv(v, raising=False)
+        monkeypatch.setenv(mesh.ENV_COORDINATOR, "host-a:9000")
+        monkeypatch.setenv(mesh.ENV_PROCESS_ID, "1")
+        with pytest.raises(RuntimeError, match="partial multi-host"):
+            mesh.initialize_distributed()
 
     def test_two_process_pod(self, tmp_path):
         """Two local processes join one pod: each sees the pod-global CPU

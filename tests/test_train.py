@@ -557,24 +557,32 @@ class TestFusedSteps:
     def test_fused_matches_single_step_training(self, rng, tmp_path):
         """pipe.fuse_steps scan-fuses dispatch windows without changing the
         training trajectory: same seeds, same per-step keys, same view
-        picks -> same final parameters as the unfused loop."""
+        picks -> same final parameters as the unfused loop.  Densify,
+        opacity reset (-> in-window cooldown annealing of lambda_opacity)
+        and the single-step fallback before events are all exercised: with
+        fuse_steps=4 over 18 iterations, densify at 6/12 and a reset at 9
+        force short windows (which must fall back to the single-step
+        signature and push unconsumed lookahead picks back to the stream)."""
         scene = _synthetic_scene(rng)
         model_cfg = ModelConfig(model_path=str(tmp_path))
         opt = dict(
-            iterations=12, densify_from_iter=10 ** 9, densify_until_iter=0,
-            opacity_reset_interval=10 ** 9, lambda_depth=0.0,
-            lambda_opacity=0.01, position_lr_max_steps=12,
+            iterations=18, densify_from_iter=2, densify_until_iter=14,
+            densification_interval=6, opacity_reset_interval=9,
+            opacity_cooldown_iterations=3,
+            lambda_depth=0.0, lambda_opacity=0.01, position_lr_max_steps=18,
         )
         t1 = Trainer(model_cfg, OptimizationConfig(**opt),
                      PipelineConfig(fuse_steps=1), scene)
         tf = Trainer(model_cfg, OptimizationConfig(**opt),
                      PipelineConfig(fuse_steps=4), scene)
-        s1 = t1.train(t1.init_state(), iterations=12)
-        sf = tf.train(tf.init_state(), iterations=12)
+        s1 = t1.train(t1.init_state(), iterations=18)
+        sf = tf.train(tf.init_state(), iterations=18)
         x1 = np.asarray(s1.model.params.xyz)
         xf = np.asarray(sf.model.params.xyz)
         np.testing.assert_allclose(xf, x1, rtol=0, atol=1e-5)
         np.testing.assert_allclose(
             np.asarray(sf.model.params.opacity),
             np.asarray(s1.model.params.opacity), atol=1e-5)
-        assert int(sf.step) == int(s1.step) == 12
+        assert int(sf.step) == int(s1.step) == 18
+        assert np.asarray(sf.model.aux.alive).sum() == \
+            np.asarray(s1.model.aux.alive).sum()
