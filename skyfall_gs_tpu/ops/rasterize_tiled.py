@@ -73,9 +73,13 @@ from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 P = TILE * TILE      # pixels per tile = 256
 NA = 24              # attribute rows per entry (16 + 2 AbsGS + 6 sublane pad)
-CHUNK = 128          # gaussian entries per inner iteration
-# (256 doubles per-entry MXU prefix work: +18 ms/step; 64 violates the
-#  128-lane DMA slice alignment)
+CHUNK = 128          # gaussian entries per prefix-scan sub-chunk
+# (CHUNK=256 for the SCAN doubles per-entry MXU prefix work: +18 ms/step;
+#  64 violates the 128-lane DMA slice alignment.)
+BLOCK = 2 * CHUNK    # gaussian entries per DMA / loop iteration: two
+# 128-lane sub-chunks run unrolled inside one iteration, halving the
+# per-iteration loop + DMA-bookkeeping overhead (~0.6 us/iteration) while
+# keeping the prefix scans at the MXU-optimal 128 width.
 NCH = 8              # channel rows (7 used + 1 pad)
 
 
@@ -164,9 +168,9 @@ def _chunk_state(buf, px, py, base, lo, hi):
 
 def _make_read_dma(attrs_ref, buf_ref, sem_ref, start):
     def dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(start + c * BLOCK, BLOCK)
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(off, CHUNK)],
+            attrs_ref.at[:, pl.ds(off, BLOCK)],
             buf_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -182,36 +186,27 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
     t = pl.program_id(0)
     start = start_ref[t]
     cnt = count_ref[t]
-    # Runs share the packed sorted buffer: over-read from the chunk
+    # Runs share the packed sorted buffer: over-read from the block
     # boundary below the run start and mask the prefix lanes.  Empty tiles
-    # do zero chunks (their off0 alone would otherwise round up to one).
-    base = (start // CHUNK) * CHUNK
+    # do zero blocks (their off0 alone would otherwise round up to one).
+    base = (start // BLOCK) * BLOCK
     off0 = start - base
-    nchunks = jnp.where(cnt > 0, (off0 + cnt + CHUNK - 1) // CHUNK, 0)
+    nblocks = jnp.where(cnt > 0, (off0 + cnt + BLOCK - 1) // BLOCK, 0)
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
     tri = _tri_incl()
     dma = _make_read_dma(attrs_ref, buf, sems, base)
 
-    @pl.when(nchunks > 0)
+    @pl.when(nblocks > 0)
     def _():
         dma(0, 0).start()
 
     def cond(carry):
         c, t_run, _ = carry
-        return (c < nchunks) & (jnp.max(t_run) >= T_EPS)
+        return (c < nblocks) & (jnp.max(t_run) >= T_EPS)
 
-    def body(carry):
-        c, t_run, acc = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        dma(slot, c).wait()
-        chunk = buf[slot]                                    # (16, G)
+    def sub_step(chunk, sub_base, t_run, acc):
         alpha, _, _, _, _, _, _, _, _ = _chunk_state(
-            chunk, px, py, c * CHUNK, off0, off0 + cnt)
+            chunk, px, py, sub_base, off0, off0 + cnt)
         one_minus = 1.0 - alpha
         cum = _cumprod_incl(one_minus, tri)                  # (P, G)
         t_after = t_run * cum                                # t_run (P, 1)
@@ -223,6 +218,22 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
             col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (8, P)
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
+        return t_run, acc
+
+    def body(carry):
+        c, t_run, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        block = buf[slot]                                    # (NA, BLOCK)
+        for h in range(BLOCK // CHUNK):
+            t_run, acc = sub_step(
+                block[:, h * CHUNK:(h + 1) * CHUNK],
+                c * BLOCK + h * CHUNK, t_run, acc)
         return c + 1, t_run, acc
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
@@ -230,7 +241,7 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
     c_fin, t_run, acc = jax.lax.while_loop(cond, body, init)
 
     # Drain a prefetch left in flight by an early exit.
-    @pl.when(c_fin < nchunks)
+    @pl.when(c_fin < nblocks)
     def _():
         dma(jax.lax.rem(c_fin, 2), c_fin).wait()
 
@@ -258,19 +269,19 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
     # (fresh == 0), this tile ACCUMULATES onto it: its masked prefix lanes
     # carry exact zeros, and the earlier tile left exact zeros in the
     # lanes owned here, so the add merges both tiles' entries losslessly.
-    base = (start // CHUNK) * CHUNK
+    base = (start // BLOCK) * BLOCK
     off0 = start - base
-    nchunks = jnp.where(cnt > 0, (off0 + cnt + CHUNK - 1) // CHUNK, 0)
+    nblocks = jnp.where(cnt > 0, (off0 + cnt + BLOCK - 1) // BLOCK, 0)
     px, py = _pixel_coords(t, tiles_x, offx_ref, offy_ref)
     tri = _tri_incl()
     dma = _make_read_dma(attrs_ref, buf, rsems, base)
 
     def boundary_read():
-        off = pl.multiple_of(base, CHUNK)
+        off = pl.multiple_of(base, BLOCK)
         return pltpu.make_async_copy(
-            dattrs_ref.at[:, pl.ds(off, CHUNK)], rbuf, bsem)
+            dattrs_ref.at[:, pl.ds(off, BLOCK)], rbuf, bsem)
 
-    @pl.when((nchunks > 0) & (fresh == 0))
+    @pl.when((nblocks > 0) & (fresh == 0))
     def _():
         boundary_read().start()
 
@@ -284,35 +295,26 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
     ) + dtfin_ref[...] * tfin_ref[...]
 
     def wdma(slot, c):
-        # Chunk c's gradient rows land exactly where its attributes were
-        # read: packed sorted entry order, chunk-aligned.
-        off = pl.multiple_of(base + c * CHUNK, CHUNK)
+        # Block c's gradient rows land exactly where its attributes were
+        # read: packed sorted entry order, block-aligned.
+        off = pl.multiple_of(base + c * BLOCK, BLOCK)
         return pltpu.make_async_copy(
             dbuf.at[slot],
-            dattrs_ref.at[:, pl.ds(off, CHUNK)],
+            dattrs_ref.at[:, pl.ds(off, BLOCK)],
             wsems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(nblocks > 0)
     def _():
         dma(0, 0).start()
 
     def cond(carry):
         c, t_run, _ = carry
-        return (c < nchunks) & (jnp.max(t_run) >= T_EPS)
+        return (c < nblocks) & (jnp.max(t_run) >= T_EPS)
 
-    def body(carry):
-        c, t_run, q_run = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        dma(slot, c).wait()
-        chunk = buf[slot]
+    def sub_step(chunk, sub_base, t_run, q_run):
         alpha, alpha_un, expp, use, dx, dy, ca, cb, cc = _chunk_state(
-            chunk, px, py, c * CHUNK, off0, off0 + cnt
+            chunk, px, py, sub_base, off0, off0 + cnt
         )
         one_minus = 1.0 - alpha
         cum = _cumprod_incl(one_minus, tri)
@@ -359,24 +361,6 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
             axis=0,
         )                                                     # (24, G)
 
-        @pl.when(c >= 2)
-        def _():
-            wdma(slot, c - 2).wait()
-
-        # Shared boundary block: accumulate onto the earlier tile's chunk
-        # (see kernel docstring) — prefix lanes here are exact zeros, and
-        # the earlier tile left exact zeros in this tile's lanes.
-        @pl.when((c == 0) & (fresh == 0))
-        def _():
-            boundary_read().wait()
-            dbuf[slot] = dchunk + rbuf[...]
-
-        @pl.when((c != 0) | (fresh != 0))
-        def _():
-            dbuf[slot] = dchunk
-
-        wdma(slot, c).start()
-
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
         # Carry the chunk total: q's summand w * a_dot is zeroed past
         # termination (w masks on keep), so the inclusive cumsum is constant
@@ -385,6 +369,43 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
         # prefix sum is not monotone (regression: multi-chunk grad parity
         # test in tests/test_rasterizer.py).
         q_run = q[:, CHUNK - 1:CHUNK]
+        return dchunk, t_run, q_run
+
+    def body(carry):
+        c, t_run, q_run = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        block = buf[slot]                                    # (NA, BLOCK)
+        halves = []
+        for h in range(BLOCK // CHUNK):
+            dchunk, t_run, q_run = sub_step(
+                block[:, h * CHUNK:(h + 1) * CHUNK],
+                c * BLOCK + h * CHUNK, t_run, q_run)
+            halves.append(dchunk)
+        dblock = jnp.concatenate(halves, axis=1)             # (NA, BLOCK)
+
+        @pl.when(c >= 2)
+        def _():
+            wdma(slot, c - 2).wait()
+
+        # Shared boundary block: accumulate onto the earlier tile's block
+        # (see kernel docstring) — prefix lanes here are exact zeros, and
+        # the earlier tile left exact zeros in this tile's lanes.
+        @pl.when((c == 0) & (fresh == 0))
+        def _():
+            boundary_read().wait()
+            dbuf[slot] = dblock + rbuf[...]
+
+        @pl.when((c != 0) | (fresh != 0))
+        def _():
+            dbuf[slot] = dblock
+
+        wdma(slot, c).start()
         return c + 1, t_run, q_run
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
@@ -392,7 +413,7 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
     c_fin, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Drain a prefetch left in flight by an early exit.
-    @pl.when(c_fin < nchunks)
+    @pl.when(c_fin < nblocks)
     def _():
         dma(jax.lax.rem(c_fin, 2), c_fin).wait()
 
@@ -404,19 +425,19 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
     def _():
         wdma(jax.lax.rem(c_fin - 1, 2), c_fin - 1).wait()
 
-    # Early termination skipped chunks [c_fin, nchunks): their entries were
+    # Early termination skipped blocks [c_fin, nblocks): their entries were
     # never composited (zero gradients), but the output region must still be
     # written — fill with zeros, one buffered DMA at a time.
-    @pl.when(c_fin < nchunks)
+    @pl.when(c_fin < nblocks)
     def _():
-        dbuf[0] = jnp.zeros((NA, CHUNK), jnp.float32)
+        dbuf[0] = jnp.zeros((NA, BLOCK), jnp.float32)
 
         def zfill(c, _):
             wdma(0, c).start()
             wdma(0, c).wait()
             return 0
 
-        jax.lax.fori_loop(c_fin, nchunks, zfill, 0)
+        jax.lax.fori_loop(c_fin, nblocks, zfill, 0)
 
 
 # ----------------------------------------------------------------------------
@@ -439,7 +460,7 @@ def _fwd_call(cfg: _Config, attrs, start, count, offx, offy):
             pl.BlockSpec((P, 1), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NA, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -473,9 +494,9 @@ def _bwd_call(cfg: _Config, attrs, start, count, fresh, offx, offy, outres,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NA, CHUNK), jnp.float32),
-            pltpu.VMEM((NA, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NA, BLOCK), jnp.float32),
+            pltpu.VMEM((2, NA, BLOCK), jnp.float32),
+            pltpu.VMEM((NA, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -545,7 +566,7 @@ def default_capacity(n: int) -> int:
     ops.binning for callers that want to grow it.
     """
     cap = max(1 << 16, 4 * n)
-    return -(-cap // CHUNK) * CHUNK
+    return -(-cap // BLOCK) * BLOCK
 
 
 def composite_tiled(
@@ -586,13 +607,14 @@ def composite_tiled(
     if interpret is None:
         interpret = _interpret_default()
     # The gradient buffer shares the packed entry layout: (NA, cap_pad).
-    cfg = _Config(tiles_y, tiles_x, cap + CHUNK, interpret,
-                  grad_cap=0 if inference else cap + CHUNK)
+    cap = -(-cap // BLOCK) * BLOCK   # block-aligned DMA slicing
+    cfg = _Config(tiles_y, tiles_x, cap + BLOCK, interpret,
+                  grad_cap=0 if inference else cap + BLOCK)
 
     binned = bin_gaussians(
         jax.lax.stop_gradient(mean2d),
         jax.lax.stop_gradient(depth),
-        radius, height, width, cap=cap, chunk=CHUNK, align=not inference,
+        radius, height, width, cap=cap, chunk=BLOCK, align=not inference,
         radius_xy=radius_xy,
     )
     gi = binned.gather_idx
