@@ -181,16 +181,28 @@ def bin_gaussians(
     marks = jnp.zeros(cap, jnp.int32).at[cum].add(
         1, indices_are_sorted=True, unique_indices=False)
     gidx = jnp.cumsum(marks) - 1                          # (cap,)
-    # Per-gaussian quantities enter through one WIDE row gather (4-column
-    # slices; a 1-column gather of the same count is ~6x slower on TPU).
+    # Per-gaussian quantities enter through one WIDE row gather (multi-
+    # column slices; a 1-column gather of the same count is ~6x slower on
+    # TPU), bit-packed into 2 columns: [cum << 7 | rect_w,
+    # (tile0 << depth_bits) | dq].  Bounds (checked): cum <= cap < 2^24 and
+    # rect_w <= tiles_x < 2^7 (the reference caps resolution at 1600px;
+    # 2^7 tiles = 2048px); the base key lives in the same 31-bit domain as
+    # the final key, and adding the rank offset shifted above depth_bits
+    # never carries into it (dq < 2^depth_bits).
+    if cap >= (1 << 24) or tiles_x >= (1 << 7):
+        raise ValueError(
+            f"binning packing limits exceeded: cap={cap} (< 2^24), "
+            f"tiles_x={tiles_x} (< 128)")
     packed = jnp.stack(
-        [cum.astype(jnp.int32), rect_w, y0 * tiles_x + x0, dq_g], axis=1)
-    e = packed[gidx]                                     # (cap, 4)
-    rank = entry - e[:, 0]
-    rw = jnp.maximum(e[:, 1], 1)
-    tile = e[:, 2] + (rank // rw) * tiles_x + rank % rw
-    key = jnp.where(live, (tile << depth_bits) | e[:, 3],
-                    t_total << depth_bits)
+        [(cum.astype(jnp.int32) << 7) | jnp.maximum(rect_w, 1),
+         ((y0 * tiles_x + x0) << depth_bits) | dq_g], axis=1)
+    e = packed[gidx]                                     # (cap, 2)
+    rank = entry - (e[:, 0] >> 7)
+    rw = e[:, 0] & 127
+    key = jnp.where(
+        live,
+        e[:, 1] + (((rank // rw) * tiles_x + rank % rw) << depth_bits),
+        t_total << depth_bits)
 
     # is_stable=False: ties within (tile, quantized depth) may land in any
     # order — the same tie class the CUDA rasterizer has at float-key
