@@ -70,7 +70,11 @@ def evaluate_scene(checkpoint: str, source_path: str, gt_dir: str,
     state = recompute_filter_for_trajectory(state, [c for c, _ in views])
 
     bg = jnp.zeros(3)
-    rfn = jax.jit(lambda m, c: render(m, c, bg, testing=True))
+    from skyfall_gs_tpu.model.render import measure_bin_capacity
+
+    cap = measure_bin_capacity(state, [c for c, _ in views])
+    rfn = jax.jit(lambda m, c: render(m, c, bg, testing=True,
+                                      bin_capacity=cap))
 
     clouds = []
     for cam, mask in views:

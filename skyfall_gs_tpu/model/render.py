@@ -31,6 +31,54 @@ from skyfall_gs_tpu.model.gaussians import (
 from skyfall_gs_tpu.ops.rasterize import RenderOutput, rasterize
 
 
+def measure_bin_capacity(
+    state: GaussianModelState,
+    cameras,
+    kernel_size: float = 0.1,
+    with_3d_filter: bool = True,
+) -> int:
+    """Production binning capacity for rendering ``cameras``: the worst
+    view's measured duplicated-entry count through the shared
+    capacity_for_entries formula.
+
+    The library's shape-only default (4 entries/splat) undershoots badly at
+    high resolution — a 125k-splat scene at 1080p produces ~2.5M entries vs
+    the 500k default, silently dropping 80% of them from the render.  Every
+    offline render path (trajectory video, eval, report renders) must
+    measure; only throwaway interactive previews may skip it.
+    """
+    import jax
+
+    from skyfall_gs_tpu.ops.binning import capacity_for_entries, count_entries
+    from skyfall_gs_tpu.ops.projection import project_gaussians
+
+    counters = {}
+
+    def counter_for(h, w):
+        if (h, w) not in counters:
+            def f(params, filter_3d, alive, cam):
+                if with_3d_filter:
+                    scales = scaling_with_3d_filter(params, filter_3d)
+                    opac = opacity_with_3d_filter(params, filter_3d)
+                else:
+                    scales = get_scaling(params)
+                    opac = get_opacity(params)
+                proj = project_gaussians(
+                    params.xyz, scales, params.rotation, opac, cam,
+                    kernel_size=kernel_size, mask=alive)
+                return count_entries(proj.mean2d, proj.radius, h, w,
+                                     radius_xy=proj.radius_xy)
+            counters[(h, w)] = jax.jit(f)
+        return counters[(h, w)]
+
+    worst = 0
+    for cam in cameras:
+        f = counter_for(int(cam.height), int(cam.width))
+        worst = max(worst, int(f(state.params, state.aux.filter_3d,
+                                 state.aux.alive, cam)))
+    return capacity_for_entries(worst)
+
+
 def compute_colors(
     state: GaussianModelState,
     camera: Camera,

@@ -90,8 +90,8 @@ class Trainer:
             "percent_dense"))
         self._reset_opacity_fn = jax.jit(reset_opacity)
         self.bin_capacity = int(self.pipe_cfg.bin_capacity) or None
-        self._eval_render = make_eval_render(cfg.kernel_size,
-                                             self.pipe_cfg.rasterizer_backend)
+        self._eval_caps: Dict = {}   # (h, w) -> measured render capacity
+        self._eval_fns: Dict = {}    # capacity -> jitted eval render
         if self.logger is None:
             self.logger = MetricsLogger(cfg.model_path)
 
@@ -233,6 +233,28 @@ class Trainer:
         from skyfall_gs_tpu.ops.binning import capacity_for_entries
 
         self.bin_capacity = capacity_for_entries(worst)
+        # Eval-render capacities were measured against the old splat set;
+        # re-measure lazily on next use.
+        self._eval_caps.clear()
+
+    def _eval_render(self, model, camera, bg):
+        """No-grad render with a measured binning capacity for the camera's
+        resolution (the shape-only default silently drops entries at high
+        resolutions).  Capacities are cached per resolution and invalidated
+        whenever the training capacity is re-measured (post-densify)."""
+        from skyfall_gs_tpu.model.render import measure_bin_capacity
+
+        key = (camera.height, camera.width)
+        cap = self._eval_caps.get(key)
+        if cap is None:
+            cap = measure_bin_capacity(model, [camera],
+                                       kernel_size=self.model_cfg.kernel_size)
+            self._eval_caps[key] = cap
+        if cap not in self._eval_fns:
+            self._eval_fns[cap] = make_eval_render(
+                self.model_cfg.kernel_size, self.pipe_cfg.rasterizer_backend,
+                bin_capacity=cap)
+        return self._eval_fns[cap](model, camera, bg)
 
     def _push_back_pick(self, pick) -> None:
         """Return an unconsumed lookahead pick to the front of the stream."""
@@ -490,10 +512,19 @@ class Trainer:
         from skyfall_gs_tpu.model.render import render as model_render
 
         def render_fn(camera, scaling_modifier):
+            from skyfall_gs_tpu.model.render import measure_bin_capacity
+
+            key = (camera.height, camera.width)
+            cap = self._eval_caps.get(key)
+            if cap is None:
+                cap = measure_bin_capacity(
+                    state.model, [camera],
+                    kernel_size=self.model_cfg.kernel_size)
+                self._eval_caps[key] = cap
             out = model_render(state.model, camera, self.bg,
                                kernel_size=self.model_cfg.kernel_size,
                                scaling_modifier=scaling_modifier,
-                               testing=True,
+                               testing=True, bin_capacity=cap,
                                backend=self.pipe_cfg.rasterizer_backend)
             return np.asarray(jnp.clip(out.color, 0.0, 1.0))
 

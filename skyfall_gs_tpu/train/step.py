@@ -269,12 +269,19 @@ def make_train_multistep(*args, **kwargs):
     return jax.jit(multi)
 
 
-def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled"):
-    """Jitted no-grad render for test-time evaluation."""
+def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled",
+                     bin_capacity: Optional[int] = None):
+    """Jitted no-grad render for test-time evaluation.
+
+    ``bin_capacity`` should come from render.measure_bin_capacity for the
+    target resolution — the shape-only default undershoots at high
+    resolutions and silently drops entries (see measure_bin_capacity).
+    """
 
     def fn(model: GaussianModelState, camera: Camera, bg):
         return render(model, camera, bg, kernel_size=kernel_size,
                       testing=True, backend=backend,
+                      bin_capacity=bin_capacity,
                       inference=(backend == "tiled"))
 
     return jax.jit(fn)

@@ -74,11 +74,20 @@ def render_trajectory(
     if bg is None:
         bg = jnp.zeros(3)
 
+    # Right-size the binning capacity for the trajectory: the shape-only
+    # default silently drops entries at high resolutions (80% at 1080p on
+    # a 125k-splat scene) — frames would render with missing splats.
+    from skyfall_gs_tpu.model.render import measure_bin_capacity
+
+    cap = measure_bin_capacity(state, cameras, kernel_size=kernel_size,
+                               with_3d_filter=with_3d_filter)
+
     @jax.jit
     def rfn(model, camera):
         out = render(model, camera, bg, kernel_size=kernel_size,
                      testing=True, backend=backend,
                      with_3d_filter=with_3d_filter,
+                     bin_capacity=cap,
                      inference=(backend == "tiled"))
         return jnp.clip(out.color, 0.0, 1.0), out.depth, out.alpha
 
