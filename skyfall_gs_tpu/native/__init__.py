@@ -16,7 +16,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
 from typing import Optional
 
 import numpy as np

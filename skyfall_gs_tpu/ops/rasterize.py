@@ -33,7 +33,6 @@ from flax import struct
 
 from skyfall_gs_tpu.core.camera import Camera
 from skyfall_gs_tpu.ops.projection import (
-    ProjectedGaussians,
     project_gaussians,
     smallest_axis_normals,
 )
