@@ -311,3 +311,42 @@ class TestCov3DPrecomp:
                                    rtol=1e-5)
         np.testing.assert_allclose(np.asarray(a.opacity),
                                    np.asarray(b.opacity), rtol=1e-5)
+
+
+class TestMeasuredCapacity:
+    def test_measured_capacity_covers_entries(self, rng):
+        """measure_bin_capacity must return at least the worst view's entry
+        count (plus margin), so measured renders never overflow — the
+        shape-only default drops 80% of entries at 1080p (regression)."""
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.model.render import measure_bin_capacity, render
+        from skyfall_gs_tpu.ops.binning import capacity_for_entries
+
+        pts = rng.normal(0, 1.0, (256, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (256, 3)).astype(np.float32)
+        state = create_from_points(pts, cols, capacity=256)
+        state = state.replace(
+            aux=state.aux.replace(filter_3d=jnp.full(256, 0.05)))
+        cams = [make_test_camera(48, 64), make_test_camera(96, 128)]
+        cap = measure_bin_capacity(state, cams, kernel_size=0.1)
+        assert cap == capacity_for_entries(max(
+            int(count_entries_for(state, c)) for c in cams))
+        # a measured render reports zero overflow on the largest view
+        out = render(state, cams[1], jnp.zeros(3), kernel_size=0.1,
+                     testing=True, bin_capacity=cap)
+        assert int(out.overflow) == 0
+
+
+def count_entries_for(state, cam):
+    from skyfall_gs_tpu.model.gaussians import (
+        opacity_with_3d_filter, scaling_with_3d_filter)
+    from skyfall_gs_tpu.ops.binning import count_entries
+
+    proj = project_gaussians(
+        state.params.xyz, scaling_with_3d_filter(state.params,
+                                                 state.aux.filter_3d),
+        state.params.rotation,
+        opacity_with_3d_filter(state.params, state.aux.filter_3d),
+        cam, kernel_size=0.1, mask=state.aux.alive)
+    return count_entries(proj.mean2d, proj.radius, cam.height, cam.width,
+                         radius_xy=proj.radius_xy)
