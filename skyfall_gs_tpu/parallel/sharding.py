@@ -55,6 +55,7 @@ def make_parallel_train_step(
     backend: str = "tiled",
     use_depth: bool = True,
     axis: str = "data",
+    bin_capacity=None,
 ):
     """Build the jitted multi-device train step.
 
@@ -80,7 +81,7 @@ def make_parallel_train_step(
             m = model.replace(params=params)
             out = render(m, camera, bg, kernel_size=kernel_size,
                          mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
-                         backend=backend)
+                         backend=backend, bin_capacity=bin_capacity)
             image = out.color * gt_mask[..., None]
             gt = gt_image * gt_mask[..., None]
             photo, ll1 = photometric_loss(
@@ -154,7 +155,8 @@ def make_parallel_train_step(
 
 
 def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
-                              backend: str = "tiled", axis: str = "data"):
+                              backend: str = "tiled", axis: str = "data",
+                              bin_capacity=None):
     """Single-frame tile (band) parallelism: the image's horizontal bands are
     sharded across the mesh; every device keeps the full (replicated)
     Gaussian state, renders its band through an exact band sub-camera
@@ -172,7 +174,8 @@ def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
     def local(model, cam_b, bg):
         camera = jax.tree.map(lambda x: x[0], cam_b)
         out = render(model, camera, bg, kernel_size=kernel_size,
-                     backend=backend, testing=True, inference=True)
+                     backend=backend, testing=True, inference=True,
+                     bin_capacity=bin_capacity)
         return out.color  # (Hb, W, 3); bands concatenate along rows
 
     sharded = shard_map(
@@ -185,7 +188,8 @@ def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
 
 
 def make_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
-                         backend: str = "tiled", axis: str = "data"):
+                         backend: str = "tiled", axis: str = "data",
+                         bin_capacity=None):
     """Batched view-parallel rendering: B cameras -> B images across the mesh.
 
     Used for IDU orbit-set generation and batch evaluation (the reference
@@ -194,7 +198,8 @@ def make_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
     def local(model, cam_b, bg):
         camera = jax.tree.map(lambda x: x[0], cam_b)
         out = render(model, camera, bg, kernel_size=kernel_size,
-                     backend=backend, testing=True)
+                     backend=backend, testing=True,
+                     bin_capacity=bin_capacity)
         return out.color[None], out.depth[None]
 
     sharded = shard_map(
