@@ -558,12 +558,13 @@ def _make_composite(cfg: _Config):
 # ----------------------------------------------------------------------------
 
 def default_capacity(n: int) -> int:
-    """Heuristic duplicated-entry capacity: ~4 tiles per splat, floored.
+    """Shape-only fallback capacity: ~4 tiles per splat, block-rounded.
 
-    Measured on satellite-like scenes the duplication factor is ~2.5x the
-    visible count; 4x leaves headroom while keeping the sort (the dominant
-    binning cost) small.  Overflow drops excess entries and is reported by
-    ops.binning for callers that want to grow it.
+    ONLY for ad-hoc calls with no better information — it undershoots
+    badly at high resolutions (80% of entries dropped at 1080p on a
+    125k-splat scene).  Production paths measure the real entry count
+    (render.measure_bin_capacity / Trainer._update_bin_capacity) instead.
+    Overflow drops excess entries and is reported by ops.binning.
     """
     cap = max(1 << 16, 4 * n)
     return -(-cap // BLOCK) * BLOCK
