@@ -430,3 +430,30 @@ class TestFluxRefinerEndToEnd:
         imgs = [np.zeros((8, 8, 3), np.float32)]
         out = ref.run(imgs, n_min=0, n_max=2)
         assert out[0].shape == (8, 8, 3)
+
+    def test_aspect_ratios_sharing_token_count_keep_their_grids(self, rng):
+        """Regression: two image shapes with the SAME packed token count
+        (8x32 and 16x16 at the tiny VAE's 2x factor both give 16 tokens)
+        must decode back to their own shapes with their own RoPE grids —
+        the per-shape closure identity keys the jit caches, so trace-time
+        latent-grid state can never leak between them."""
+        from skyfall_gs_tpu.priors.flux_refiner import build_flux_refiner
+
+        cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        ref = build_flux_refiner(
+            transformer_params=init_flux_params(jax.random.PRNGKey(0), cfg),
+            vae_params=init_vae_params(jax.random.PRNGKey(1), vae_cfg),
+            cfg=cfg, vae_cfg=vae_cfg, num_steps=2, batch_size=1)
+        wide = [rng.uniform(size=(8, 32, 3)).astype(np.float32)]
+        square = [rng.uniform(size=(16, 16, 3)).astype(np.float32)]
+        # sanity: identical packed-token counts
+        ew, _, _ = ref.shape_fns(8, 32)
+        es, _, _ = ref.shape_fns(16, 16)
+        assert ew(jnp.asarray(np.stack(wide))).shape[1] == \
+            es(jnp.asarray(np.stack(square))).shape[1]
+        out_w = ref.run(wide, n_min=0, n_max=2)
+        out_s = ref.run(square, n_min=0, n_max=2)
+        assert out_w[0].shape == (8, 32, 3)
+        assert out_s[0].shape == (16, 16, 3)
+        assert np.isfinite(out_w[0]).all() and np.isfinite(out_s[0]).all()
