@@ -13,7 +13,7 @@ import numpy as np
 def colorize_depth(depth: np.ndarray, mask: np.ndarray | None = None,
                    normalize: bool = True, cmap: str = "Spectral") -> np.ndarray:
     """(H, W) depth -> (H, W, 3) float RGB in [0, 1]."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     depth = np.asarray(depth, np.float64)
     disp = 1.0 / np.maximum(depth, 1e-8)
@@ -24,7 +24,7 @@ def colorize_depth(depth: np.ndarray, mask: np.ndarray | None = None,
         lo, hi = np.percentile(disp[valid], [2, 98])
         disp = (disp - lo) / max(hi - lo, 1e-12)
     disp = np.clip(np.where(valid, disp, 0.0), 0.0, 1.0)
-    colored = cm.get_cmap(cmap)(disp)[..., :3]
+    colored = matplotlib.colormaps[cmap](disp)[..., :3]
     if mask is not None:
         colored = colored * (np.asarray(mask) > 0)[..., None]
     return colored.astype(np.float32)
