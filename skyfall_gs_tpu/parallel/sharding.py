@@ -48,7 +48,7 @@ from skyfall_gs_tpu.ops.losses import (
 from skyfall_gs_tpu.train.step import StepMetrics, TrainState
 
 
-def make_parallel_train_step(
+def _build_parallel_step(
     mesh: Mesh,
     opt_cfg,
     kernel_size: float = 0.1,
@@ -57,7 +57,7 @@ def make_parallel_train_step(
     axis: str = "data",
     bin_capacity=None,
 ):
-    """Build the jitted multi-device train step.
+    """Build the raw (unjitted) shard_map'd multi-device train step.
 
     Signature of the returned function:
         step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
@@ -151,7 +151,47 @@ def make_parallel_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return sharded
+
+
+def make_parallel_train_step(mesh: Mesh, *args, **kwargs):
+    """Jitted multi-device train step — see :func:`_build_parallel_step`.
+
+    Signature of the returned function:
+        step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
+             depths (B,H,W), bg (3,), xyz_lr, lambda_opacity)
+          -> (state, StepMetrics)
+    where B == mesh size along ``axis``.
+    """
+    return jax.jit(_build_parallel_step(mesh, *args, **kwargs))
+
+
+def make_parallel_multistep(mesh: Mesh, *args, **kwargs):
+    """Scan-fused window of view-parallel training steps: one dispatch runs
+    K consecutive B-view steps over the mesh (the multi-chip analogue of
+    train.step.make_train_multistep — per-dispatch runtime overhead is paid
+    once per window instead of once per step).
+
+    Signature:
+        multi(state, cameras (K,B-stacked pytree), images (K,B,H,W,3),
+              masks (K,B,H,W), depths (K,B,H,W), bg (3,), xyz_lrs (K,),
+              lambda_opacities (K,))
+            -> (state, StepMetrics with (K,)-leaves)
+    """
+    sharded = _build_parallel_step(mesh, *args, **kwargs)
+
+    def multi(state, cams_kb, images_kb, masks_kb, depths_kb, bg,
+              xyz_lrs, lambda_opacities):
+        def body(st, xs):
+            cam_b, img_b, msk_b, dep_b, lr, lam = xs
+            return sharded(st, cam_b, img_b, msk_b, dep_b, bg, lr, lam)
+
+        return jax.lax.scan(
+            body, state,
+            (cams_kb, images_kb, masks_kb, depths_kb, xyz_lrs,
+             lambda_opacities))
+
+    return jax.jit(multi)
 
 
 def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,

@@ -181,6 +181,58 @@ class TestParallel:
         # denom counts both views where visible on both
         assert float(ts2.model.aux.denom.max()) <= 2.0
 
+    def test_parallel_multistep_matches_sequential(self, rng):
+        """A K-step scan-fused parallel window equals K sequential parallel
+        steps (the multi-chip analogue of the Trainer's fused windows)."""
+        import jax
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+        from skyfall_gs_tpu.parallel.sharding import (
+            make_parallel_multistep,
+            make_parallel_train_step,
+        )
+        from skyfall_gs_tpu.train.step import init_train_state
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+
+        if len(jax.devices("cpu")) < 2:
+            pytest.skip("needs >= 2 cpu devices")
+
+        pts = rng.normal(0, 0.8, (40, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (40, 3)).astype(np.float32)
+        state = create_from_points(pts, cols, capacity=64)
+        state = state.replace(aux=state.aux.replace(
+            filter_3d=jnp.full(64, 0.05)))
+        ts = init_train_state(state)
+
+        K = 3
+        cams = orbit_cameras([0, 0, 0], 40.0, 3.0, num_cams=2, width=32,
+                             height=32)
+        cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        cam_kb = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), cam_b)
+        imgs = jnp.asarray(rng.uniform(0, 1, (K, 2, 32, 32, 3)), jnp.float32)
+        masks = jnp.ones((K, 2, 32, 32))
+        depths = jnp.asarray(rng.uniform(1, 5, (K, 2, 32, 32)), jnp.float32)
+        bg = jnp.zeros(3)
+        lrs = jnp.asarray([1e-3, 2e-3, 1e-3], jnp.float32)
+        lams = jnp.full((K,), 0.1, jnp.float32)
+
+        mesh = make_mesh(2)
+        step = make_parallel_train_step(mesh, OptimizationConfig(),
+                                        use_depth=True)
+        ts_seq = ts
+        for k in range(K):
+            ts_seq, _ = step(ts_seq, cam_b, imgs[k], masks[k], depths[k],
+                             bg, lrs[k], lams[k])
+
+        multi = make_parallel_multistep(mesh, OptimizationConfig(),
+                                        use_depth=True)
+        ts_fused, ms = multi(ts, cam_kb, imgs, masks, depths, bg, lrs, lams)
+        np.testing.assert_allclose(
+            np.asarray(ts_fused.model.params.xyz),
+            np.asarray(ts_seq.model.params.xyz), atol=1e-6)
+        assert ms.loss.shape == (K,)
+        assert int(ts_fused.step) == K
+
 
 @pytest.mark.slow
 class TestAppearance:
