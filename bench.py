@@ -132,6 +132,10 @@ def main():
         "unit": "iters/sec",
         "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
     }
+    # Emit the perf line immediately: the driver parses the output tail, so
+    # if the auxiliary quality phase below is cut off by a timeout, a valid
+    # result line is still on record (the post-quality line supersedes it).
+    print(json.dumps(result), flush=True)
     try:
         result.update(quality_metric())
     except Exception as e:  # quality is auxiliary — never lose the perf line
