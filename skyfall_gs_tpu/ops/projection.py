@@ -37,11 +37,14 @@ class ProjectedGaussians:
     radius: jnp.ndarray        # (N,) int32 3-sigma screen radius; 0 = culled
     opacity: jnp.ndarray       # (N,) opacity incl. mip 2D compensation
     compensation: jnp.ndarray  # (N,) the sqrt(det0/det1) factor itself
-    # Exact axis-aligned half-extents of the alpha>=1/255 cutoff ellipse
-    # (sigma_mult * sqrt(cov_xx / cov_yy)); always <= radius.  Binning uses
-    # these for the touched-tile rect — anisotropic splats duplicate into
-    # far fewer tiles than the circumscribed square, with zero output
-    # change (any pixel above the alpha threshold lies inside the AABB).
+    # Exact axis-aligned half-extents of the alpha>=1/255 cutoff ellipse:
+    # rx = sm_exact * sqrt(cov_xx) + 0.5px (and sqrt(cov_yy) for ry), where
+    # sm_exact = sqrt(2 ln(255 opacity)) is UNCAPPED (up to ~3.33 sigma), so
+    # rx/ry can exceed `radius` (whose sigma multiplier caps at 3.0) for
+    # near-opaque splats.  Binning uses these for the touched-tile rect —
+    # anisotropic splats duplicate into far fewer tiles than the
+    # circumscribed square, with zero output change (any pixel above the
+    # alpha threshold lies inside the AABB).
     radius_xy: jnp.ndarray = None  # (N, 2) int32
 
 

@@ -18,10 +18,9 @@ single-view step (including the Pallas rasterizer) and the collectives are
 explicit.  The optimizer update runs replicated — identical on every device
 because the pmean'd gradients are identical.
 
-Gaussian-sharded rasterization (sharding the N-splat state itself across
-devices with depth-partitioned compositing) is the planned second axis; the
-binning layer already isolates per-tile depth ordering, which is the merge
-primitive it needs.
+The second axis — Gaussian-sharded rasterization (sharding the N-splat
+state itself across devices with depth-partitioned compositing, appearance
+included) — ships in :mod:`skyfall_gs_tpu.parallel.gauss_shard`.
 """
 
 from __future__ import annotations
@@ -204,7 +203,7 @@ def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
 
     Unlike view parallelism this cuts the *latency* of one frame — the
     interactive-viewer axis.  Gaussian-sharded compositing (splitting the
-    splat state itself) is the remaining planned axis.
+    splat state itself) lives in :mod:`skyfall_gs_tpu.parallel.gauss_shard`.
 
     Returned signature: fn(model, band_cameras_B, bg) -> (H, W, 3) image,
     where band_cameras_B is the stacked pytree of

@@ -188,6 +188,7 @@ class FlowEditRefiner:
         batch_size: int = 8,
         sigmas=None,
         shape_fns: Optional[Callable] = None,
+        sigmas_fn: Optional[Callable] = None,
     ):
         """``shape_fns(height, width) -> (encode, decode, velocity)`` —
         optional per-image-shape function factory.  The velocity field is a
@@ -196,11 +197,17 @@ class FlowEditRefiner:
         share a token count; baking the latent grid into trace-time state
         would silently reuse the wrong RoPE grid for the second one).
         Must be cached by the provider (e.g. lru_cache) so repeated shapes
-        reuse compiled code."""
+        reuse compiled code.
+
+        ``sigmas_fn(height, width) -> (num_steps + 1,)`` — optional
+        per-image-shape sigma grid (the FLUX resolution-shifted schedule
+        depends on the latent token count); takes precedence over the
+        static ``sigmas`` when both are given."""
         self.save_path = save_path
         self.num_steps = num_steps
         self.batch_size = batch_size
         self.sigmas = sigmas
+        self.sigmas_fn = sigmas_fn
         self.rng = jax.random.PRNGKey(seed)
         if velocity_fn is None and shape_fns is None:
             raise RuntimeError(
@@ -228,28 +235,50 @@ class FlowEditRefiner:
                    for i in range(n)]
         else:
             nms = [n_max] * n
+        # The static scan window must cover the WIDEST per-image window:
+        # n_max_end > n_max anneals wider, and flow_edit_ode_batch masks
+        # image i inactive on steps before num_steps - nms[i], so a window
+        # of max(nms) reproduces every per-image run exactly.
+        window = max(max(nms), n_max)
+        if window > self.num_steps:
+            raise ValueError(
+                f"editing window {window} (n_max={n_max}, "
+                f"n_max_end={n_max_end}) exceeds num_steps={self.num_steps}")
 
-        out: List[np.ndarray] = []
-        for i in range(0, n, self.batch_size):
-            batch = images[i:i + self.batch_size]
-            nm = jnp.asarray(nms[i:i + self.batch_size], jnp.int32)
-            # Pad the tail batch to the full batch size so the episode uses
-            # exactly one jit signature (padding images are masked inactive).
-            pad = self.batch_size - len(batch) if i + self.batch_size > n else 0
-            if pad:
-                batch = list(batch) + [batch[-1]] * pad
-                nm = jnp.concatenate([nm, jnp.zeros(pad, jnp.int32)])
-            self.rng, k = jax.random.split(self.rng)
+        # Group frames by pixel shape: shape_fns/sigmas are per-shape, and
+        # one stacked batch must be shape-uniform.  Each group keeps its own
+        # jit signature; outputs return in input order.
+        groups: dict = {}
+        for idx, im in enumerate(images):
+            groups.setdefault(np.asarray(im).shape, []).append(idx)
+
+        out: List[Optional[np.ndarray]] = [None] * n
+        for shape, idxs in groups.items():
+            hh, ww = shape[:2]
             if self.shape_fns is not None:
-                hh, ww = np.asarray(batch[0]).shape[:2]
                 enc, dec_fn, vel = self.shape_fns(hh, ww)
             else:
                 enc, dec_fn, vel = self.encode, self.decode, self.velocity_fn
-            z = enc(jnp.stack([jnp.asarray(im) for im in batch]))
-            z2 = flow_edit_ode_batch(
-                vel, z, self.src_cond, self.tar_cond, k, nm,
-                num_steps=self.num_steps, n_min=n_min, n_max=n_max,
-                n_avg=n_avg, sigmas=self.sigmas)
-            dec = np.asarray(dec_fn(z2))
-            out.extend(dec[: len(dec) - pad if pad else len(dec)])
+            sig = (self.sigmas_fn(hh, ww) if self.sigmas_fn is not None
+                   else self.sigmas)
+            for i in range(0, len(idxs), self.batch_size):
+                sel = idxs[i:i + self.batch_size]
+                batch = [images[j] for j in sel]
+                nm = jnp.asarray([nms[j] for j in sel], jnp.int32)
+                # Pad the tail batch to the full batch size so the episode
+                # uses one jit signature per shape (padding images are
+                # masked inactive).
+                pad = self.batch_size - len(batch)
+                if pad:
+                    batch = list(batch) + [batch[-1]] * pad
+                    nm = jnp.concatenate([nm, jnp.zeros(pad, jnp.int32)])
+                self.rng, k = jax.random.split(self.rng)
+                z = enc(jnp.stack([jnp.asarray(im) for im in batch]))
+                z2 = flow_edit_ode_batch(
+                    vel, z, self.src_cond, self.tar_cond, k, nm,
+                    num_steps=self.num_steps, n_min=n_min, n_max=window,
+                    n_avg=n_avg, sigmas=sig)
+                dec = np.asarray(dec_fn(z2))
+                for j, im_out in zip(sel, dec):
+                    out[j] = im_out
         return out

@@ -129,8 +129,10 @@ def build_flux_refiner(
             random init at ``FluxConfig.tiny()`` width).
         src_cond / tar_cond: prompt conditioning; defaults to zero
             embeddings (structure-preserving edit) when omitted.
-        image_size: pixel size of the frames (for the resolution-shifted
-            sigma schedule); inferred per batch when None.
+        image_size: pixel size of the frames for the resolution-shifted
+            sigma schedule.  When None (the default) the schedule is
+            computed per image shape from the actual latent token count
+            at run time — pass a size only to pin one static grid.
     """
     if transformer_params is None or vae_params is None:
         if checkpoint_path is None:
@@ -196,9 +198,18 @@ def build_flux_refiner(
         return encode_fn, decode_fn, velocity_fn
 
     sigmas = None
-    if use_shifted_sigmas and image_size is not None:
-        seq_len = (image_size // 16) ** 2
-        sigmas = shifted_sigmas(num_steps, seq_len)
+    sigmas_fn = None
+    if use_shifted_sigmas:
+        if image_size is not None:
+            seq_len = (image_size // 16) ** 2
+            sigmas = shifted_sigmas(num_steps, seq_len)
+        else:
+            # Resolution-shifted schedule from the actual packed token
+            # count of each frame shape (VAE /factor then 2x2 packing).
+            @functools.lru_cache(maxsize=None)
+            def sigmas_fn(height: int, width: int):
+                seq_len = (height // (2 * factor)) * (width // (2 * factor))
+                return shifted_sigmas(num_steps, seq_len)
 
     return FlowEditRefiner(
         save_path=save_path,
@@ -210,4 +221,5 @@ def build_flux_refiner(
         seed=seed,
         batch_size=batch_size,
         sigmas=sigmas,
+        sigmas_fn=sigmas_fn,
     )

@@ -397,6 +397,49 @@ class TestBatchedFlowEdit:
         np.testing.assert_allclose(out[1], imgs[1] - 0.5, atol=1e-5)
         np.testing.assert_allclose(out[2], imgs[2], atol=1e-5)
 
+    def test_widening_anneal_not_truncated(self, rng):
+        """Regression (advisor r2): n_max_end > n_max anneals WIDER windows;
+        the scan window must grow to max(nms) instead of silently clipping
+        every image to n_max."""
+        from skyfall_gs_tpu.priors.flowedit import FlowEditRefiner
+
+        ref = FlowEditRefiner(velocity_fn=lambda z, t, c: jnp.full_like(z, c),
+                              src_cond=0.0, tar_cond=1.0, num_steps=10,
+                              batch_size=8)
+        imgs = [rng.uniform(size=(4, 4, 3)).astype(np.float32)
+                for _ in range(3)]
+        # nms = [5, 8, 10]; constant unit velocity delta integrates to
+        # -nm/num_steps on the uniform grid.
+        out = ref.run(imgs, n_min=0, n_max=5, n_max_end=10)
+        np.testing.assert_allclose(out[0], imgs[0] - 0.5, atol=1e-5)
+        np.testing.assert_allclose(out[1], imgs[1] - 0.8, atol=1e-5)
+        np.testing.assert_allclose(out[2], imgs[2] - 1.0, atol=1e-5)
+
+    def test_window_beyond_num_steps_raises(self, rng):
+        from skyfall_gs_tpu.priors.flowedit import FlowEditRefiner
+
+        ref = FlowEditRefiner(velocity_fn=lambda z, t, c: z, src_cond=0.0,
+                              tar_cond=1.0, num_steps=8)
+        with pytest.raises(ValueError, match="exceeds num_steps"):
+            ref.run([rng.uniform(size=(4, 4, 3)).astype(np.float32)],
+                    n_max=12)
+
+    def test_mixed_shapes_grouped(self, rng):
+        """Regression (advisor r2): a run() over mixed frame shapes groups
+        by shape (instead of crashing on jnp.stack) and returns results in
+        input order."""
+        from skyfall_gs_tpu.priors.flowedit import FlowEditRefiner
+
+        ref = FlowEditRefiner(velocity_fn=lambda z, t, c: jnp.full_like(z, c),
+                              src_cond=0.0, tar_cond=1.0, num_steps=10,
+                              batch_size=4)
+        shapes = [(4, 4, 3), (4, 8, 3), (4, 4, 3), (4, 8, 3), (4, 4, 3)]
+        imgs = [rng.uniform(size=s).astype(np.float32) for s in shapes]
+        out = ref.run(imgs, n_min=0, n_max=10)
+        assert [o.shape for o in out] == shapes
+        for o, im in zip(out, imgs):
+            np.testing.assert_allclose(o, im - 1.0, atol=1e-5)
+
 
 class TestFluxRefinerEndToEnd:
     def test_tiny_flux_flowedit_runs(self, rng):
@@ -457,3 +500,29 @@ class TestFluxRefinerEndToEnd:
         assert out_w[0].shape == (8, 32, 3)
         assert out_s[0].shape == (16, 16, 3)
         assert np.isfinite(out_w[0]).all() and np.isfinite(out_s[0]).all()
+
+    def test_shifted_sigmas_inferred_per_shape(self, rng):
+        """Regression (advisor r2, medium): image_size=None with
+        use_shifted_sigmas=True must yield the resolution-shifted grid from
+        each batch's actual token count — not silently fall back to the
+        uniform linspace."""
+        from skyfall_gs_tpu.priors.flux_refiner import build_flux_refiner
+
+        cfg = FluxConfig.tiny()
+        vae_cfg = VAEConfig.tiny()
+        ref = build_flux_refiner(
+            transformer_params=init_flux_params(jax.random.PRNGKey(0), cfg),
+            vae_params=init_vae_params(jax.random.PRNGKey(1), vae_cfg),
+            cfg=cfg, vae_cfg=vae_cfg, num_steps=4, batch_size=1)
+        assert ref.sigmas_fn is not None
+        factor = 2 ** (len(vae_cfg.ch_mult) - 1)
+        for (h, w) in [(8, 8), (8, 32)]:
+            seq_len = (h // (2 * factor)) * (w // (2 * factor))
+            np.testing.assert_allclose(
+                np.asarray(ref.sigmas_fn(h, w)),
+                np.asarray(shifted_sigmas(4, seq_len)))
+        uniform = np.linspace(1.0, 0.0, 5)
+        assert not np.allclose(np.asarray(ref.sigmas_fn(8, 8)), uniform)
+        out = ref.run([rng.uniform(size=(8, 8, 3)).astype(np.float32)],
+                      n_min=0, n_max=3)
+        assert np.isfinite(out[0]).all()
