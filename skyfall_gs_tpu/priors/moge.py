@@ -143,7 +143,10 @@ def _attention(x, p, heads):
 def _block(x, p, heads):
     x = x + p["ls1"] * _attention(_layernorm(x, p["ln1"]), p, heads)
     h = _layernorm(x, p["ln2"])
-    h = jax.nn.gelu(h @ p["fc1"]["w"] + p["fc1"]["b"])
+    # DINOv2 uses nn.GELU with the EXACT erf form (torch default) — the
+    # tanh approximation drifts ~5e-4 per block (caught by the torch
+    # oracle in tests/test_torch_oracles.py).
+    h = jax.nn.gelu(h @ p["fc1"]["w"] + p["fc1"]["b"], approximate=False)
     h = h @ p["fc2"]["w"] + p["fc2"]["b"]
     return x + p["ls2"] * h
 

@@ -1,0 +1,525 @@
+"""Numerical parity of the JAX ports against installed torch oracles.
+
+Round-2 verdict: the converter tests were circular — they consumed fake
+checkpoints whose key layout the converter author invented.  These tests
+replace the fakes with REAL torch forward passes:
+
+  * T5 encoder  — ``transformers.T5EncoderModel`` at tiny random init; its
+    ``state_dict()`` feeds ``convert_t5_state_dict`` and its output is the
+    expected value (reference requirements.txt pins transformers; the FLUX
+    pipeline the reference wraps uses exactly this class).
+  * CLIP text   — ``transformers.CLIPTextModel``, same pattern, hidden +
+    pooled-at-EOT outputs.
+  * DINOv2 ViT  — a torch forward implementing the public DINOv2 block
+    (pre-norm, LayerScale, exact GELU) over a DINOv2-named state dict,
+    vs ``priors.moge.vit_features`` (MoGe's encoder).
+  * LPIPS       — a torch forward implementing the reference lpipsPyTorch
+    semantics (torchvision AlexNet features + unit-norm + lin heads,
+    reference lpipsPyTorch/modules/*.py) over AlexNet-shaped weights.
+  * FLUX VAE    — a torch forward implementing the diffusers AutoencoderKL
+    blocks (GroupNorm/SiLU ResNet, single-head spatial attention,
+    asymmetric-pad downsample, nearest upsample) over diffusers-named
+    weights, vs ``priors.flux_vae`` encode/decode.
+
+Everything runs at tiny widths on CPU; tolerances are a few 1e-5 (f32
+accumulation-order noise only — any layout/transpose/activation mismatch
+shows up orders of magnitude larger).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from skyfall_gs_tpu.priors.text_encoders import (  # noqa: E402
+    CLIPTextConfig,
+    T5Config,
+    clip_text_encode,
+    convert_clip_text_state_dict,
+    convert_t5_state_dict,
+    t5_encode,
+)
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def _sd_np(module):
+    return {k: _np(v) for k, v in module.state_dict().items()}
+
+
+# ----------------------------------------------------------------------------
+# T5 encoder vs transformers.T5EncoderModel
+# ----------------------------------------------------------------------------
+
+class TestT5Oracle:
+    @pytest.fixture(scope="class")
+    def models(self):
+        import transformers
+
+        cfg = T5Config.tiny()
+        hf_cfg = transformers.T5Config(
+            vocab_size=cfg.vocab,
+            d_model=cfg.d_model,
+            d_kv=cfg.d_model // cfg.heads,
+            d_ff=cfg.d_ff,
+            num_layers=cfg.layers,
+            num_heads=cfg.heads,
+            relative_attention_num_buckets=cfg.rel_buckets,
+            relative_attention_max_distance=cfg.rel_max_dist,
+            feed_forward_proj="gated-gelu",
+            dropout_rate=0.0,
+            is_encoder_decoder=False,
+            use_cache=False,
+        )
+        torch.manual_seed(0)
+        hf = transformers.T5EncoderModel(hf_cfg).eval()
+        params = convert_t5_state_dict(_sd_np(hf), cfg)
+        return hf, params, cfg
+
+    def test_hidden_states_match(self, models):
+        hf, params, cfg = models
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, cfg.vocab, size=(2, 9)).astype(np.int64)
+        with torch.no_grad():
+            want = _np(hf(input_ids=torch.from_numpy(ids)).last_hidden_state)
+        got = np.asarray(t5_encode(params, jnp.asarray(ids), cfg))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_attention_mask_matches(self, models):
+        hf, params, cfg = models
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, cfg.vocab, size=(2, 7)).astype(np.int64)
+        mask = np.ones((2, 7), np.int64)
+        mask[0, 5:] = 0
+        mask[1, 3:] = 0
+        with torch.no_grad():
+            want = _np(hf(input_ids=torch.from_numpy(ids),
+                          attention_mask=torch.from_numpy(mask))
+                       .last_hidden_state)
+        got = np.asarray(t5_encode(params, jnp.asarray(ids), cfg,
+                                   attn_mask=jnp.asarray(mask, bool)))
+        # only compare unmasked positions (masked outputs are unspecified)
+        for b in range(2):
+            n = int(mask[b].sum())
+            np.testing.assert_allclose(got[b, :n], want[b, :n],
+                                       atol=2e-5, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# CLIP text encoder vs transformers.CLIPTextModel
+# ----------------------------------------------------------------------------
+
+class TestCLIPTextOracle:
+    @pytest.fixture(scope="class")
+    def models(self):
+        import transformers
+
+        cfg = CLIPTextConfig.tiny()
+        hf_cfg = transformers.CLIPTextConfig(
+            vocab_size=cfg.vocab,
+            hidden_size=cfg.width,
+            intermediate_size=4 * cfg.width,
+            num_hidden_layers=cfg.layers,
+            num_attention_heads=cfg.heads,
+            max_position_embeddings=cfg.max_len,
+            hidden_act="quick_gelu",
+            eos_token_id=cfg.eos_id,
+            bos_token_id=cfg.eos_id - 1,
+            pad_token_id=None,
+            attention_dropout=0.0,
+        )
+        torch.manual_seed(0)
+        hf = transformers.CLIPTextModel(hf_cfg).eval()
+        params = convert_clip_text_state_dict(_sd_np(hf), cfg)
+        return hf, params, cfg
+
+    def test_hidden_and_pooled_match(self, models):
+        hf, params, cfg = models
+        rng = np.random.default_rng(0)
+        l = 11
+        ids = rng.integers(0, cfg.vocab - 2, size=(2, l)).astype(np.int64)
+        ids[0, 6] = cfg.eos_id      # EOT mid-sequence
+        ids[1, l - 1] = cfg.eos_id
+        with torch.no_grad():
+            out = hf(input_ids=torch.from_numpy(ids))
+        hidden, pooled = clip_text_encode(params, jnp.asarray(ids), cfg)
+        np.testing.assert_allclose(np.asarray(hidden),
+                                   _np(out.last_hidden_state),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(pooled), _np(out.pooler_output),
+                                   atol=2e-5, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# DINOv2 ViT encoder (MoGe backbone) vs a torch DINOv2-block forward
+# ----------------------------------------------------------------------------
+
+def _torch_dinov2_forward(sd, images_nchw, cfg):
+    """Faithful torch forward of the public DINOv2 encoder over a
+    DINOv2-named state dict: patch conv, cls token, (native-grid) pos
+    embed, pre-norm blocks with LayerScale and EXACT GELU, final norm.
+    Returns (taps at cfg.out_layers as NHWC grids, normed tokens)."""
+    F = torch.nn.functional
+    b = images_nchw.shape[0]
+    ps = cfg.patch_size
+    x = F.conv2d(images_nchw, sd["patch_embed.proj.weight"],
+                 sd["patch_embed.proj.bias"], stride=ps)
+    gh, gw = x.shape[2], x.shape[3]
+    x = x.flatten(2).transpose(1, 2)                      # (B, N, D)
+    cls = sd["cls_token"].expand(b, -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    x = x + sd["pos_embed"]                                # native grid only
+
+    def ln(t, p):
+        return F.layer_norm(t, (t.shape[-1],), sd[p + ".weight"],
+                            sd[p + ".bias"], eps=1e-6)
+
+    taps = []
+    heads = cfg.heads
+    d = cfg.width
+    for i in range(cfg.depth):
+        p = f"blocks.{i}"
+        h = ln(x, f"{p}.norm1")
+        qkv = F.linear(h, sd[f"{p}.attn.qkv.weight"], sd[f"{p}.attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+
+        def split(t):
+            return t.reshape(b, -1, heads, d // heads).transpose(1, 2)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = (q @ k.transpose(-2, -1)) / math.sqrt(d // heads)
+        attn = attn.softmax(dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(b, -1, d)
+        o = F.linear(o, sd[f"{p}.attn.proj.weight"], sd[f"{p}.attn.proj.bias"])
+        x = x + sd[f"{p}.ls1.gamma"] * o
+        h = ln(x, f"{p}.norm2")
+        h = F.linear(h, sd[f"{p}.mlp.fc1.weight"], sd[f"{p}.mlp.fc1.bias"])
+        h = F.gelu(h)                                      # exact erf GELU
+        h = F.linear(h, sd[f"{p}.mlp.fc2.weight"], sd[f"{p}.mlp.fc2.bias"])
+        x = x + sd[f"{p}.ls2.gamma"] * h
+        if i in cfg.out_layers:
+            taps.append(x[:, 1:].reshape(b, gh, gw, d))
+    return taps, ln(x, "norm")
+
+
+class TestViTOracle:
+    def test_vit_features_match_torch(self):
+        from skyfall_gs_tpu.priors.moge import (
+            ViTConfig,
+            convert_torch_state_dict,
+            vit_features,
+        )
+
+        cfg = ViTConfig(patch_size=2, width=16, depth=3, heads=2,
+                        mlp_ratio=2.0, img_size=8, out_layers=(0, 2),
+                        head_width=8)
+        torch.manual_seed(0)
+        g = torch.Generator().manual_seed(0)
+
+        def r(*shape, s=0.2):
+            return torch.randn(*shape, generator=g) * s
+
+        d = cfg.width
+        sd = {
+            "patch_embed.proj.weight": r(d, 3, 2, 2),
+            "patch_embed.proj.bias": r(d),
+            "cls_token": r(1, 1, d),
+            "pos_embed": r(1, (cfg.img_size // 2) ** 2 + 1, d),
+            "norm.weight": 1.0 + r(d, s=0.05), "norm.bias": r(d, s=0.05),
+        }
+        for i in range(cfg.depth):
+            p = f"blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": 1.0 + r(d, s=0.05),
+                f"{p}.norm1.bias": r(d, s=0.05),
+                f"{p}.attn.qkv.weight": r(3 * d, d),
+                f"{p}.attn.qkv.bias": r(3 * d),
+                f"{p}.attn.proj.weight": r(d, d),
+                f"{p}.attn.proj.bias": r(d),
+                f"{p}.norm2.weight": 1.0 + r(d, s=0.05),
+                f"{p}.norm2.bias": r(d, s=0.05),
+                f"{p}.mlp.fc1.weight": r(int(d * cfg.mlp_ratio), d),
+                f"{p}.mlp.fc1.bias": r(int(d * cfg.mlp_ratio)),
+                f"{p}.mlp.fc2.weight": r(d, int(d * cfg.mlp_ratio)),
+                f"{p}.mlp.fc2.bias": r(d),
+                f"{p}.ls1.gamma": 1.0 + r(d, s=0.1),
+                f"{p}.ls2.gamma": 1.0 + r(d, s=0.1),
+            })
+
+        imgs = torch.rand(2, 3, cfg.img_size, cfg.img_size, generator=g)
+        with torch.no_grad():
+            want_taps, want_norm = _torch_dinov2_forward(sd, imgs, cfg)
+
+        params = convert_torch_state_dict({k: _np(v) for k, v in sd.items()},
+                                          cfg, allow_partial_head=True)
+        got_taps, got_norm = vit_features(
+            params, jnp.asarray(_np(imgs.permute(0, 2, 3, 1))), cfg)
+        assert len(got_taps) == len(want_taps) == 2
+        for got, want in zip(got_taps, want_taps):
+            np.testing.assert_allclose(np.asarray(got), _np(want),
+                                       atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_norm), _np(want_norm),
+                                   atol=3e-5, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# LPIPS vs a torch forward of the reference lpipsPyTorch semantics
+# ----------------------------------------------------------------------------
+
+def _torch_lpips(backbone_sd, lin_sd, a_nchw, b_nchw):
+    """Reference LPIPS (lpipsPyTorch/modules/*.py): scale inputs, run the
+    torchvision-AlexNet feature stack, tap after each ReLU, unit-normalize
+    channels, weight squared diffs with 1x1 lin heads, spatial-average,
+    sum over taps."""
+    F = torch.nn.functional
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def feats(x):
+        x = (x - shift) / scale
+        out = []
+        # torchvision AlexNet features: indices 0,3,6,8,10 are convs;
+        # MaxPool2d(3, 2) at indices 2 and 5; ReLU after every conv.
+        meta = {0: (4, 2), 3: (1, 2), 6: (1, 1), 8: (1, 1), 10: (1, 1)}
+        taps = [0, 3, 6, 8, 10]
+        h = x
+        for i in taps:
+            if i in (3, 6):
+                h = F.max_pool2d(h, 3, 2)
+            s, p = meta[i]
+            h = F.conv2d(h, backbone_sd[f"{i}.weight"],
+                         backbone_sd[f"{i}.bias"], stride=s, padding=p)
+            h = F.relu(h)
+            out.append(h)
+        return out
+
+    fa, fb = feats(a_nchw), feats(b_nchw)
+    total = torch.zeros(a_nchw.shape[0])
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
+        nb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
+        d = (na - nb) ** 2
+        w = lin_sd[f"lin{i}.model.1.weight"]               # (1, C, 1, 1)
+        total = total + F.conv2d(d, w).mean(dim=(1, 2, 3))
+    return total
+
+
+class TestLPIPSOracle:
+    def test_alex_scores_match_torch(self):
+        from skyfall_gs_tpu.eval.lpips import LPIPS
+
+        g = torch.Generator().manual_seed(0)
+        # AlexNet-features-shaped random conv stack (torchvision layout).
+        spec = [(0, 64, 3, 11), (3, 192, 64, 5), (6, 384, 192, 3),
+                (8, 256, 384, 3), (10, 256, 256, 3)]
+        backbone = {}
+        for i, (idx, o, c, k) in enumerate(spec):
+            backbone[f"{idx}.weight"] = torch.randn(o, c, k, k, generator=g) \
+                * (0.4 / math.sqrt(c * k * k))
+            backbone[f"{idx}.bias"] = torch.randn(o, generator=g) * 0.05
+        lin = {}
+        for i, (_, o, _, _) in enumerate(spec):
+            lin[f"lin{i}.model.1.weight"] = \
+                torch.rand(1, o, 1, 1, generator=g) * 0.1
+
+        a = torch.rand(1, 3, 64, 64, generator=g)
+        b = torch.rand(1, 3, 64, 64, generator=g)
+        with torch.no_grad():
+            want = float(_torch_lpips(backbone, lin,
+                                      a * 2 - 1, b * 2 - 1)[0])
+
+        model = LPIPS(net="alex",
+                      backbone_state={k: _np(v) for k, v in backbone.items()},
+                      lin_state={k: _np(v) for k, v in lin.items()})
+        got = model(_np(a[0].permute(1, 2, 0)), _np(b[0].permute(1, 2, 0)))
+        assert got == pytest.approx(want, abs=2e-5, rel=1e-4)
+        # identical inputs -> exactly zero distance
+        assert model(_np(a[0].permute(1, 2, 0)),
+                     _np(a[0].permute(1, 2, 0))) == pytest.approx(0.0,
+                                                                  abs=1e-7)
+
+
+# ----------------------------------------------------------------------------
+# FLUX VAE vs a torch forward of the diffusers AutoencoderKL blocks
+# ----------------------------------------------------------------------------
+
+def _t_gn(x, sd, p, groups):
+    return torch.nn.functional.group_norm(
+        x, groups, sd[p + ".weight"], sd[p + ".bias"], eps=1e-6)
+
+
+def _t_conv(x, sd, p, stride=1, padding=1):
+    return torch.nn.functional.conv2d(x, sd[p + ".weight"], sd[p + ".bias"],
+                                      stride=stride, padding=padding)
+
+
+def _t_resnet(x, sd, p, groups):
+    F = torch.nn.functional
+    h = F.silu(_t_gn(x, sd, p + ".norm1", groups))
+    h = _t_conv(h, sd, p + ".conv1")
+    h = F.silu(_t_gn(h, sd, p + ".norm2", groups))
+    h = _t_conv(h, sd, p + ".conv2")
+    if p + ".conv_shortcut.weight" in sd:
+        x = _t_conv(x, sd, p + ".conv_shortcut", padding=0)
+    return x + h
+
+
+def _t_attn(x, sd, p, groups):
+    F = torch.nn.functional
+    b, c, h, w = x.shape
+    n = _t_gn(x, sd, p + ".group_norm", groups)
+    n = n.flatten(2).transpose(1, 2)                       # (B, HW, C)
+    q = F.linear(n, sd[p + ".to_q.weight"], sd[p + ".to_q.bias"])
+    k = F.linear(n, sd[p + ".to_k.weight"], sd[p + ".to_k.bias"])
+    v = F.linear(n, sd[p + ".to_v.weight"], sd[p + ".to_v.bias"])
+    attn = (q @ k.transpose(-2, -1)) / math.sqrt(c)
+    o = attn.softmax(dim=-1) @ v
+    o = F.linear(o, sd[p + ".to_out.0.weight"], sd[p + ".to_out.0.bias"])
+    return x + o.transpose(1, 2).reshape(b, c, h, w)
+
+
+def _torch_vae_encode(sd, cfg, imgs_nchw):
+    F = torch.nn.functional
+    chs = [cfg.base_ch * m for m in cfg.ch_mult]
+    g = cfg.groups
+    x = _t_conv(imgs_nchw, sd, "encoder.conv_in")
+    for si in range(len(chs)):
+        for j in range(cfg.num_res):
+            x = _t_resnet(x, sd, f"encoder.down_blocks.{si}.resnets.{j}", g)
+        if si < len(chs) - 1:
+            # diffusers Downsample2D: pad (0,1,0,1) then stride-2 VALID conv
+            x = F.pad(x, (0, 1, 0, 1))
+            x = _t_conv(x, sd, f"encoder.down_blocks.{si}.downsamplers.0.conv",
+                        stride=2, padding=0)
+    x = _t_resnet(x, sd, "encoder.mid_block.resnets.0", g)
+    x = _t_attn(x, sd, "encoder.mid_block.attentions.0", g)
+    x = _t_resnet(x, sd, "encoder.mid_block.resnets.1", g)
+    x = F.silu(_t_gn(x, sd, "encoder.conv_norm_out", g))
+    x = _t_conv(x, sd, "encoder.conv_out")
+    mean = x[:, :cfg.latent_ch]
+    return (mean - cfg.shift_factor) * cfg.scaling_factor
+
+
+def _torch_vae_decode(sd, cfg, z_nchw):
+    F = torch.nn.functional
+    chs = [cfg.base_ch * m for m in cfg.ch_mult]
+    g = cfg.groups
+    z = z_nchw / cfg.scaling_factor + cfg.shift_factor
+    x = _t_conv(z, sd, "decoder.conv_in")
+    x = _t_resnet(x, sd, "decoder.mid_block.resnets.0", g)
+    x = _t_attn(x, sd, "decoder.mid_block.attentions.0", g)
+    x = _t_resnet(x, sd, "decoder.mid_block.resnets.1", g)
+    for si in range(len(chs)):
+        for j in range(cfg.num_res + 1):
+            x = _t_resnet(x, sd, f"decoder.up_blocks.{si}.resnets.{j}", g)
+        if si < len(chs) - 1:
+            x = F.interpolate(x, scale_factor=2.0, mode="nearest")
+            x = _t_conv(x, sd, f"decoder.up_blocks.{si}.upsamplers.0.conv")
+    x = F.silu(_t_gn(x, sd, "decoder.conv_norm_out", g))
+    return _t_conv(x, sd, "decoder.conv_out")
+
+
+class TestVAEOracle:
+    @pytest.fixture(scope="class")
+    def models(self):
+        from skyfall_gs_tpu.priors.flux_vae import (
+            VAEConfig,
+            convert_torch_state_dict,
+        )
+
+        cfg = VAEConfig.tiny()
+        chs = [cfg.base_ch * m for m in cfg.ch_mult]
+        g = torch.Generator().manual_seed(0)
+        sd = {}
+
+        def conv(p, cin, cout, k=3):
+            sd[p + ".weight"] = torch.randn(cout, cin, k, k, generator=g) \
+                * (0.4 / math.sqrt(cin * k * k))
+            sd[p + ".bias"] = torch.randn(cout, generator=g) * 0.02
+
+        def gn(p, c):
+            sd[p + ".weight"] = 1.0 + torch.randn(c, generator=g) * 0.05
+            sd[p + ".bias"] = torch.randn(c, generator=g) * 0.05
+
+        def lin(p, c):
+            sd[p + ".weight"] = torch.randn(c, c, generator=g) \
+                * (0.4 / math.sqrt(c))
+            sd[p + ".bias"] = torch.randn(c, generator=g) * 0.02
+
+        def resnet(p, cin, cout):
+            gn(p + ".norm1", cin)
+            conv(p + ".conv1", cin, cout)
+            gn(p + ".norm2", cout)
+            conv(p + ".conv2", cout, cout)
+            if cin != cout:
+                conv(p + ".conv_shortcut", cin, cout, k=1)
+
+        def attn(p, c):
+            gn(p + ".group_norm", c)
+            for name in ("to_q", "to_k", "to_v", "to_out.0"):
+                lin(f"{p}.{name}", c)
+
+        conv("encoder.conv_in", 3, chs[0])
+        cin = chs[0]
+        for si, c in enumerate(chs):
+            for j in range(cfg.num_res):
+                resnet(f"encoder.down_blocks.{si}.resnets.{j}", cin, c)
+                cin = c
+            if si < len(chs) - 1:
+                conv(f"encoder.down_blocks.{si}.downsamplers.0.conv", c, c)
+        resnet("encoder.mid_block.resnets.0", cin, cin)
+        attn("encoder.mid_block.attentions.0", cin)
+        resnet("encoder.mid_block.resnets.1", cin, cin)
+        gn("encoder.conv_norm_out", cin)
+        conv("encoder.conv_out", cin, 2 * cfg.latent_ch)
+
+        conv("decoder.conv_in", cfg.latent_ch, chs[-1])
+        cin = chs[-1]
+        resnet("decoder.mid_block.resnets.0", cin, cin)
+        attn("decoder.mid_block.attentions.0", cin)
+        resnet("decoder.mid_block.resnets.1", cin, cin)
+        for si, c in enumerate(reversed(chs)):
+            for j in range(cfg.num_res + 1):
+                resnet(f"decoder.up_blocks.{si}.resnets.{j}", cin, c)
+                cin = c
+            if si < len(chs) - 1:
+                conv(f"decoder.up_blocks.{si}.upsamplers.0.conv", c, c)
+        gn("decoder.conv_norm_out", cin)
+        conv("decoder.conv_out", cin, 3)
+
+        params = convert_torch_state_dict({k: _np(v) for k, v in sd.items()},
+                                          cfg)
+        return sd, params, cfg
+
+    def test_encode_matches_torch(self, models):
+        from skyfall_gs_tpu.priors.flux_vae import vae_encode
+
+        sd, params, cfg = models
+        g = torch.Generator().manual_seed(1)
+        imgs = torch.rand(2, 3, 16, 16, generator=g) * 2 - 1
+        with torch.no_grad():
+            want = _np(_torch_vae_encode(sd, cfg, imgs))
+        got = np.asarray(vae_encode(params, cfg,
+                                    jnp.asarray(_np(imgs.permute(0, 2, 3, 1)))))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=3e-5, rtol=1e-4)
+
+    def test_decode_matches_torch(self, models):
+        from skyfall_gs_tpu.priors.flux_vae import vae_decode
+
+        sd, params, cfg = models
+        g = torch.Generator().manual_seed(2)
+        z = torch.randn(2, cfg.latent_ch, 8, 8, generator=g)
+        with torch.no_grad():
+            want = _np(_torch_vae_decode(sd, cfg, z))
+        got = np.asarray(vae_decode(params, cfg,
+                                    jnp.asarray(_np(z.permute(0, 2, 3, 1)))))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   atol=5e-5, rtol=1e-4)
