@@ -118,6 +118,8 @@ def build_flux_refiner(
     seed: int = 0,
     use_shifted_sigmas: bool = True,
     image_size: Optional[int] = None,
+    mesh=None,
+    tp_dtype="bfloat16",
 ) -> FlowEditRefiner:
     """Construct the FLUX FlowEdit refine backend.
 
@@ -133,6 +135,12 @@ def build_flux_refiner(
             sigma schedule.  When None (the default) the schedule is
             computed per image shape from the actual latent token count
             at run time — pass a size only to pin one static grid.
+        mesh: a ``jax.sharding.Mesh`` with a ``"tp"`` axis.  When given,
+            the DiT runs tensor-parallel over the mesh with parameters
+            cast to ``tp_dtype`` (bf16 by default) — the production
+            setting: full FLUX.1 is ~12B params and only fits a v5e
+            slice sharded (priors/flux_shard.py documents the HBM
+            budget).  The VAE (~80M params) stays replicated.
     """
     if transformer_params is None or vae_params is None:
         if checkpoint_path is None:
@@ -171,6 +179,17 @@ def build_flux_refiner(
 
     factor = 2 ** (len(vae_cfg.ch_mult) - 1)
 
+    if mesh is not None:
+        from skyfall_gs_tpu.priors.flux_shard import (
+            make_sharded_flux_velocity,
+            shard_flux_params,
+        )
+
+        dtype = jnp.dtype(tp_dtype) if tp_dtype is not None else None
+        sharded_params = shard_flux_params(transformer_params, mesh, cfg,
+                                           dtype=dtype)
+        sharded_vel = make_sharded_flux_velocity(mesh, cfg)
+
     @functools.lru_cache(maxsize=None)
     def shape_fns(height: int, width: int):
         lh, lw = height // factor, width // factor
@@ -192,8 +211,13 @@ def build_flux_refiner(
             img = vae_decode(vae_params, vae_cfg, z)
             return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-        def velocity_fn(tok: jnp.ndarray, t, cond: FluxCond) -> jnp.ndarray:
-            return flux_velocity(transformer_params, cfg, tok, ids, cond, t)
+        if mesh is not None:
+            def velocity_fn(tok: jnp.ndarray, t, cond: FluxCond):
+                return sharded_vel(sharded_params, tok, ids, cond, t)
+        else:
+            def velocity_fn(tok: jnp.ndarray, t, cond: FluxCond):
+                return flux_velocity(transformer_params, cfg, tok, ids,
+                                     cond, t)
 
         return encode_fn, decode_fn, velocity_fn
 

@@ -161,3 +161,27 @@ class TestShardedFlowEdit:
         out = ref.run(imgs, n_min=0, n_max=2)
         assert len(out) == 2
         assert np.isfinite(out[0]).all()
+
+    def test_build_flux_refiner_mesh_matches_unsharded(self, mesh, rng):
+        """build_flux_refiner(mesh=...) (the production Stage-2 wiring)
+        reproduces the single-device refiner output in f32."""
+        from skyfall_gs_tpu.priors.flux_refiner import build_flux_refiner
+        from skyfall_gs_tpu.priors.flux_vae import (
+            VAEConfig,
+            init_vae_params,
+        )
+
+        cfg = tp_config()
+        vae_cfg = VAEConfig.tiny()
+        tfp = init_flux_params(jax.random.PRNGKey(0), cfg)
+        vaep = init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+        kw = dict(transformer_params=tfp, vae_params=vaep, cfg=cfg,
+                  vae_cfg=vae_cfg, num_steps=3, batch_size=2, seed=7)
+        ref_single = build_flux_refiner(**kw)
+        ref_tp = build_flux_refiner(mesh=mesh, tp_dtype=None, **kw)
+        imgs = [rng.uniform(size=(8, 8, 3)).astype(np.float32)
+                for _ in range(2)]
+        out_s = ref_single.run(imgs, n_min=0, n_max=2)
+        out_t = ref_tp.run(imgs, n_min=0, n_max=2)
+        for a, b in zip(out_s, out_t):
+            np.testing.assert_allclose(a, b, atol=5e-5)
