@@ -144,30 +144,40 @@ def main():
 
 
 def quality_metric():
-    """Reconstruction-quality anchor (BASELINE.md "PSNR within 0.5%" north
-    star): train the procedural city scene for a fixed budget with the full
-    Stage-1 Trainer (densify + curricula) and report held-out test PSNR.
-    Deterministic setup — round-over-round deltas are quality regressions,
-    not noise."""
-    import os
+    """Reconstruction-quality anchor (BASELINE.md "PSNR/SSIM within 0.5%"
+    north star) at production mechanics: a 256px procedural city scene
+    trained 2000 iterations with densification, opacity resets, per-view
+    APPEARANCE embeddings, and DEPTH supervision all active — the same
+    subsystems a real 512-1600px satellite run exercises (reference
+    arguments/__init__.py:144, utils/camera_utils.py:33-41).  Reports
+    held-out PSNR and SSIM.  Deterministic setup — round-over-round deltas
+    are quality regressions, not noise."""
     import tempfile
+
+    import jax.numpy as jnp
 
     from skyfall_gs_tpu.config import (
         ModelConfig, OptimizationConfig, PipelineConfig)
     from skyfall_gs_tpu.io.synthetic import make_city_scene, test_psnr
+    from skyfall_gs_tpu.ops.ssim import ssim
     from skyfall_gs_tpu.train.loop import Trainer
 
-    iters = 500
+    iters = 2000
+    size = 256
     out_dir = tempfile.mkdtemp(prefix="skyfall_bench_q_")
-    scene = make_city_scene(out_dir, n_views=12, size=64, n_points=400)
-    model_cfg = ModelConfig(model_path=out_dir, kernel_size=0.1)
+    scene = make_city_scene(out_dir, n_views=16, size=size, n_points=2000,
+                            n_test=2)
+    model_cfg = ModelConfig(
+        model_path=out_dir, kernel_size=0.1,
+        appearance_enabled=True, appearance_n_fourier_freqs=4,
+        appearance_embedding_dim=32)
     opt_cfg = OptimizationConfig(
         iterations=iters,
-        densify_from_iter=100,
+        densify_from_iter=300,
         densification_interval=150,
-        densify_until_iter=int(iters * 0.8),
-        opacity_reset_interval=10 ** 9,
-        lambda_depth=0.0,
+        densify_until_iter=int(iters * 0.6),
+        opacity_reset_interval=1500,
+        lambda_depth=0.1,
         lambda_opacity=0.01,
         position_lr_max_steps=iters,
     )
@@ -175,9 +185,17 @@ def quality_metric():
     state = trainer.init_state()
     state = trainer.train(state, iterations=iters, save_iterations=(),
                           checkpoint_iterations=())
+
+    ssims = []
+    for v in scene.test_views:
+        out = trainer._eval_render(state.model, v.camera, trainer.bg)
+        img = jnp.clip(out.color, 0, 1).transpose(2, 0, 1)   # HWC -> CHW
+        ssims.append(float(ssim(img, jnp.asarray(v.image).transpose(2, 0, 1))))
     return {
         "quality_psnr_db": round(test_psnr(trainer, scene, state), 2),
-        "quality_setup": f"city64px_{iters}it",
+        "quality_ssim": round(float(np.mean(ssims)), 4),
+        "quality_setup": f"city{size}px_{iters}it_densify_appearance_depth",
+        "quality_n_splats": int(state.model.num_alive),
     }
 
 
