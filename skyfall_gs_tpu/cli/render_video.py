@@ -91,6 +91,12 @@ def main(argv=None) -> None:
     parser.add_argument("--kernel_size", type=float, default=0.1)
     parser.add_argument("--white_background", action="store_true")
     parser.add_argument("--scale_histogram", action="store_true")
+    parser.add_argument(
+        "--entry_budget", type=int, default=None,
+        help="LOD cap on duplicated (splat, tile) entries per frame; splats "
+             "are kept greedily by contribution-per-entry. Bounds render "
+             "cost on dense scenes (see scripts/bench_entry_budget.py for "
+             "the measured speed/quality curve).")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -151,7 +157,8 @@ def main(argv=None) -> None:
 
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     frames, fps_measured = render_trajectory(
-        state, cams, bg=bg, kernel_size=args.kernel_size, mode=args.mode)
+        state, cams, bg=bg, kernel_size=args.kernel_size, mode=args.mode,
+        entry_budget=args.entry_budget)
     write_video(args.out, frames, fps=fps)
     print(f"wrote {args.out}: {len(frames)} frames, render {fps_measured:.1f} FPS")
 

@@ -134,6 +134,7 @@ def render(
     bin_capacity: Optional[int] = None,
     inference: bool = False,
     with_normals: bool = True,
+    entry_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view from the model state."""
     params = state.params
@@ -165,4 +166,5 @@ def render(
         bin_capacity=bin_capacity,
         inference=inference,
         with_normals=with_normals,
+        entry_budget=entry_budget,
     )

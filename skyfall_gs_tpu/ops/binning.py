@@ -94,12 +94,18 @@ def _tile_rects(mean2d, radius, tiles_y, tiles_x, radius_xy=None):
     return x0, y0, rect_w, count
 
 
+def per_splat_entries(mean2d, radius, height: int, width: int,
+                      radius_xy=None) -> jnp.ndarray:
+    """(N,) duplicated-entry count each splat would produce (0 = culled)."""
+    tiles_y, tiles_x = num_tiles(height, width)
+    return _tile_rects(mean2d, radius, tiles_y, tiles_x, radius_xy)[3]
+
+
 def count_entries(mean2d, radius, height: int, width: int,
                   radius_xy=None) -> jnp.ndarray:
     """Total duplicated (splat, tile) entries a view would produce — used by
     trainers to right-size the binning capacity."""
-    tiles_y, tiles_x = num_tiles(height, width)
-    return jnp.sum(_tile_rects(mean2d, radius, tiles_y, tiles_x, radius_xy)[3])
+    return jnp.sum(per_splat_entries(mean2d, radius, height, width, radius_xy))
 
 
 def capacity_for_entries(worst_entries: int) -> int:

@@ -63,6 +63,44 @@ class RenderOutput:
         return jnp.transpose(self.color, (2, 0, 1))
 
 
+def _apply_entry_budget(proj, camera: Camera, budget: int):
+    """Greedy entry-budgeted LOD: keep splats by contribution-per-entry.
+
+    Render time scales with duplicated (splat, tile) entries (the binning
+    gathers and both Pallas kernels are per-entry), so the honest LOD axis
+    is an ENTRY budget, not a splat count.  Value = opacity x cutoff-AABB
+    pixel area (an integrated-alpha-mass proxy); cost = touched tiles.
+    Greedy knapsack on value/cost, two passes: each pass first drops splats
+    whose individual cost exceeds the remaining budget (so one oversized
+    splat cannot block the cheap tail behind it — a plain prefix-cumsum
+    keep rule has exactly that failure), then keeps the eligible prefix.
+    One sort + two cumsums cost ~1 ms at 150k splats and buy back multiple
+    ms per dropped megaentry at 1080p.
+    """
+    from skyfall_gs_tpu.ops.binning import per_splat_entries
+
+    counts = per_splat_entries(proj.mean2d, proj.radius,
+                               int(camera.height), int(camera.width),
+                               radius_xy=proj.radius_xy)
+    area = (proj.radius_xy[:, 0] * proj.radius_xy[:, 1]).astype(jnp.float32)
+    value = proj.opacity * area
+    ratio = jnp.where(counts > 0, value / jnp.maximum(counts, 1), -1.0)
+    order = jnp.argsort(-ratio)
+    c_sorted = counts[order]
+    keep_sorted = jnp.zeros(c_sorted.shape, bool)
+    rem = jnp.asarray(budget, c_sorted.dtype)
+    for _ in range(2):
+        elig = (~keep_sorted) & (c_sorted > 0) & (c_sorted <= rem)
+        cum = jnp.cumsum(jnp.where(elig, c_sorted, 0))
+        keep_sorted = keep_sorted | (elig & (cum <= rem))
+        rem = budget - jnp.sum(jnp.where(keep_sorted, c_sorted, 0))
+    keep = jnp.zeros(proj.radius.shape[0], bool).at[order].set(keep_sorted)
+    return proj.replace(
+        radius=jnp.where(keep, proj.radius, 0),
+        radius_xy=jnp.where(keep[:, None], proj.radius_xy, 0),
+    )
+
+
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -81,6 +119,7 @@ def rasterize(
     backend: str = "tiled",
     bin_capacity: Optional[int] = None,
     inference: bool = False,
+    entry_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view.
 
@@ -94,11 +133,27 @@ def rasterize(
         mean2d_abs_dummy: (N, 2) zeros; tiled backend routes the AbsGS
             absolute screen-space gradient into its cotangent.
         backend: "tiled" (Pallas, production) or "reference" (oracle).
+        entry_budget: inference-only LOD cap on duplicated (splat, tile)
+            entries — the quantity render time actually scales with.  Splats
+            are kept greedily by contribution-per-entry (opacity x cutoff
+            AABB area / touched tiles) until the budget is spent; the rest
+            are culled.  A lossy, MEASURED speed/quality trade (see
+            scripts/bench_entry_budget.py); with ``bin_capacity=None`` the
+            capacity becomes the budget itself, so nothing silently
+            overflows.
     """
     proj = project_gaussians(
         means3d, scales, quats, opacities, camera,
         kernel_size=kernel_size, mask=mask, scaling_modifier=scaling_modifier,
     )
+
+    if entry_budget is not None:
+        if not inference:
+            raise ValueError("entry_budget is an inference-only LOD mode; "
+                             "training must composite every live splat")
+        proj = _apply_entry_budget(proj, camera, entry_budget)
+        if bin_capacity is None:
+            bin_capacity = -(-entry_budget // 256) * 256
     mean2d = proj.mean2d
     if mean2d_dummy is not None:
         mean2d = mean2d + mean2d_dummy

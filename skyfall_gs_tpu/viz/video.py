@@ -69,18 +69,29 @@ def render_trajectory(
     backend: str = "tiled",
     with_3d_filter: bool = True,
     report_fps: bool = True,
+    entry_budget: Optional[int] = None,
 ) -> tuple[List[np.ndarray], float]:
-    """Render every camera; returns (frames, frames_per_second measured)."""
+    """Render every camera; returns (frames, frames_per_second measured).
+
+    entry_budget: optional inference LOD cap on duplicated (splat, tile)
+    entries per frame (see ops/rasterize.py); the binning capacity then
+    equals the budget, so dense scenes render at a bounded, predictable
+    cost instead of at the measured worst-view capacity.
+    """
     if bg is None:
         bg = jnp.zeros(3)
 
     # Right-size the binning capacity for the trajectory: the shape-only
     # default silently drops entries at high resolutions (80% at 1080p on
     # a 125k-splat scene) — frames would render with missing splats.
-    from skyfall_gs_tpu.model.render import measure_bin_capacity
+    # Under an entry budget the budget IS the capacity (rasterize() wires
+    # it), so the measuring pass is skipped.
+    cap = None
+    if entry_budget is None:
+        from skyfall_gs_tpu.model.render import measure_bin_capacity
 
-    cap = measure_bin_capacity(state, cameras, kernel_size=kernel_size,
-                               with_3d_filter=with_3d_filter)
+        cap = measure_bin_capacity(state, cameras, kernel_size=kernel_size,
+                                   with_3d_filter=with_3d_filter)
 
     @jax.jit
     def rfn(model, camera):
@@ -88,7 +99,8 @@ def render_trajectory(
                      testing=True, backend=backend,
                      with_3d_filter=with_3d_filter,
                      bin_capacity=cap,
-                     inference=(backend == "tiled"))
+                     inference=(backend == "tiled"),
+                     entry_budget=entry_budget)
         return jnp.clip(out.color, 0.0, 1.0), out.depth, out.alpha
 
     # warm-up/compile on the first camera

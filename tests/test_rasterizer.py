@@ -350,3 +350,77 @@ def count_entries_for(state, cam):
         cam, kernel_size=0.1, mask=state.aux.alive)
     return count_entries(proj.mean2d, proj.radius, cam.height, cam.width,
                          radius_xy=proj.radius_xy)
+
+
+class TestEntryBudget:
+    """Inference-only LOD: cap duplicated (splat, tile) entries.
+
+    Reference capability claim (real-time exploration,
+    /root/reference/README.md:25); the TPU-honest LOD axis is entries, not
+    splats, because binning gathers and both Pallas kernels price per entry.
+    """
+
+    def _render(self, rng, budget=None, n=60):
+        cam = make_test_camera(48, 64)
+        args = _splat_args(rng, n)
+        return rasterize(*args, cam, jnp.zeros(3), inference=True,
+                         entry_budget=budget)
+
+    def test_generous_budget_is_lossless(self, rng):
+        full = self._render(rng, budget=None)
+        rng2 = np.random.default_rng(0)
+        capped = self._render(rng2, budget=1 << 20)
+        np.testing.assert_allclose(np.asarray(capped.color),
+                                   np.asarray(full.color), atol=1e-5)
+
+    def test_budget_is_a_hard_entry_cap(self, rng):
+        from skyfall_gs_tpu.ops.binning import per_splat_entries
+        from skyfall_gs_tpu.ops.rasterize import _apply_entry_budget
+
+        cam = make_test_camera(48, 64)
+        args = _splat_args(rng, 60)
+        proj = project_gaussians(args[0], args[1], args[2], args[3], cam)
+        total = int(jnp.sum(per_splat_entries(
+            proj.mean2d, proj.radius, 48, 64, radius_xy=proj.radius_xy)))
+        assert total > 16  # the stress premise: something to cut
+        budget = total // 2
+        capped = _apply_entry_budget(proj, cam, budget)
+        kept = int(jnp.sum(per_splat_entries(
+            capped.mean2d, capped.radius, 48, 64,
+            radius_xy=capped.radius_xy)))
+        assert 0 < kept <= budget
+
+    def test_keeps_high_contribution_per_entry_first(self, rng):
+        # One bright opaque splat + one huge faint one: under a budget that
+        # cannot fit both, the faint many-tile splat must be the one culled.
+        cam = make_test_camera(64, 64, eye=(0.0, -5.0, 0.0))
+        means = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        scales = jnp.asarray([[0.05] * 3, [2.0] * 3])
+        quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (2, 1))
+        opac = jnp.asarray([0.95, 0.05])
+        from skyfall_gs_tpu.ops.rasterize import _apply_entry_budget
+        proj = project_gaussians(means, scales, quats, opac, cam)
+        capped = _apply_entry_budget(proj, cam, 4)
+        assert int(capped.radius[0]) > 0      # compact bright splat kept
+        assert int(capped.radius[1]) == 0     # diffuse faint splat culled
+
+    def test_training_mode_rejects_budget(self, rng):
+        with pytest.raises(ValueError, match="inference-only"):
+            cam = make_test_camera(32, 32)
+            args = _splat_args(rng, 8)
+            rasterize(*args, cam, jnp.zeros(3), inference=False,
+                      entry_budget=128)
+
+    def test_render_frontend_threads_budget(self, rng):
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.model.render import render
+
+        pts = rng.normal(0, 1.0, (64, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        state = create_from_points(pts, cols, capacity=64)
+        state = state.replace(
+            aux=state.aux.replace(filter_3d=jnp.full(64, 0.05)))
+        cam = make_test_camera(48, 64)
+        out = render(state, cam, jnp.zeros(3), kernel_size=0.1,
+                     testing=True, inference=True, entry_budget=512)
+        assert np.isfinite(np.asarray(out.color)).all()
