@@ -292,6 +292,20 @@ def grow_capacity(state, opt_state: AdamState, new_capacity: int):
             fields[name] = padded
         return p.replace(**fields)
 
+    def pad_moments(p: GaussianParams) -> GaussianParams:
+        # Adam moments of fresh padding slots must be ZERO for every field —
+        # reusing pad_params here once filled nu.opacity with the -10 logit
+        # fill, and a negative second moment is sqrt(-x) = NaN on the next
+        # optimizer step (it poisoned every padding row's opacity, then
+        # cascaded into scaling/rotation through 0 * NaN gradients).
+        fields = {}
+        for name in _PER_GAUSSIAN_FIELDS:
+            leaf = getattr(p, name)
+            if leaf is None:
+                continue
+            fields[name] = pad_rows(leaf)
+        return p.replace(**fields)
+
     new_params = pad_params(state.params)
     new_aux = GaussianAux(
         alive=jnp.pad(state.aux.alive, (0, pad)),
@@ -303,6 +317,6 @@ def grow_capacity(state, opt_state: AdamState, new_capacity: int):
         denom=pad_rows(state.aux.denom),
     )
     new_opt = opt_state.replace(
-        mu=pad_params(opt_state.mu), nu=pad_params(opt_state.nu)
+        mu=pad_moments(opt_state.mu), nu=pad_moments(opt_state.nu)
     )
     return state.replace(params=new_params, aux=new_aux), new_opt

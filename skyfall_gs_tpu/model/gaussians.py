@@ -108,6 +108,19 @@ def scaling_with_3d_filter(params: GaussianParams, filter_3d: jnp.ndarray) -> jn
     return jnp.sqrt(jnp.square(s) + jnp.square(filter_3d)[:, None])
 
 
+def _safe_det_ratio_sqrt(det1: jnp.ndarray, det2: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(det1 / det2) with a bounded gradient.
+
+    det1 = prod(s^2) underflows to exactly 0 for tiny transient scales, and
+    sqrt'(0) = inf turns a live cotangent into NaN parameters through Adam
+    (same failure as the projection compensation — see ops/projection.py).
+    Floor the argument at 1e-12 (gradient <= 5e5) and zero the forward
+    below it: a coefficient < 1e-6 is far below visibility either way.
+    """
+    ratio = det1 / jnp.maximum(det2, 1e-30)
+    return jnp.where(ratio > 1e-12, jnp.sqrt(jnp.maximum(ratio, 1e-12)), 0.0)
+
+
 def opacity_with_3d_filter(params: GaussianParams, filter_3d: jnp.ndarray) -> jnp.ndarray:
     """Opacity compensation sqrt(det(s^2) / det(s^2 + f^2))
     (reference scene/gaussian_model.py:237-249)."""
@@ -115,14 +128,14 @@ def opacity_with_3d_filter(params: GaussianParams, filter_3d: jnp.ndarray) -> jn
     s2 = jnp.square(get_scaling(params))
     det1 = jnp.prod(s2, axis=1)
     det2 = jnp.prod(s2 + jnp.square(filter_3d)[:, None], axis=1)
-    return o * jnp.sqrt(det1 / jnp.maximum(det2, 1e-30))
+    return o * _safe_det_ratio_sqrt(det1, det2)
 
 
 def _filter_coef(params: GaussianParams, filter_3d: jnp.ndarray) -> jnp.ndarray:
     s2 = jnp.square(get_scaling(params))
     det1 = jnp.prod(s2, axis=1)
     det2 = jnp.prod(s2 + jnp.square(filter_3d)[:, None], axis=1)
-    return jnp.sqrt(det1 / jnp.maximum(det2, 1e-30))
+    return _safe_det_ratio_sqrt(det1, det2)
 
 
 # ----------------------------------------------------------------------------

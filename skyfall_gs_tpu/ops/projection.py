@@ -117,7 +117,18 @@ def compute_cov2d(
     c00d = c00 + kernel_size
     c11d = c11 + kernel_size
     det1 = c00d * c11d - c01 * c01
-    compensation = jnp.sqrt(jnp.maximum(det0 / jnp.maximum(det1, 1e-12), 0.0))
+    # Gradient-safe sqrt: for thin splats det0 suffers catastrophic
+    # cancellation and lands anywhere in [-eps, +eps] depending on how XLA
+    # fuses the products; sqrt'(x) = 0.5/sqrt(x) is ~1e6 at x = 1e-12 and
+    # INF at the x = 0 clamp boundary — on a LIVE splat that inf reaches
+    # Adam and NaNs xyz/scaling/rotation/opacity (the 256px quality run
+    # died this way, window-phase-dependent).  Floor the sqrt argument at
+    # 1e-6 (gradient <= 500) and zero the forward for ratios below it:
+    # comp < 1e-3 makes op_eff < 1/255, i.e. such splats are invisible
+    # either way, so the forward change is null on composited output.
+    ratio = det0 / jnp.maximum(det1, 1e-12)
+    compensation = jnp.where(
+        ratio > 1e-6, jnp.sqrt(jnp.maximum(ratio, 1e-6)), 0.0)
     cov2d = jnp.stack(
         [jnp.stack([c00d, c01], axis=-1), jnp.stack([c01, c11d], axis=-1)], axis=-2
     )

@@ -212,3 +212,39 @@ class TestDensify:
         assert opt2.mu.xyz.shape == (256, 3)
         # padding rotations stay normalized-identity
         assert float(model2.params.rotation[200, 0]) == 1.0
+
+    def test_grow_capacity_zero_moments(self, rng):
+        """Padding-slot Adam moments must be exactly zero for EVERY field.
+
+        Regression: grow_capacity once padded the moment pytrees with the
+        parameter fills (opacity -10, rotation identity), and a negative
+        second moment is sqrt(-x) = NaN on the next Adam step — it poisoned
+        every padding row's opacity, then cascaded into scaling/rotation
+        through 0 * NaN gradients (the bench 256px quality run diverged at
+        the first capacity growth)."""
+        from skyfall_gs_tpu.model.optim import adam_update, make_lr_tree
+        from skyfall_gs_tpu.config import OptimizationConfig
+
+        st, ts = self._setup(rng)
+        # make the pre-growth moments nonzero so padding is distinguishable
+        opt = ts.opt.replace(
+            mu=jax.tree.map(lambda x: x + 1.0, ts.opt.mu),
+            nu=jax.tree.map(lambda x: x + 1.0, ts.opt.nu),
+        )
+        model2, opt2 = grow_capacity(st, opt, 256)
+        pad = np.arange(st.params.capacity, 256)
+        for tree in (opt2.mu, opt2.nu):
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for path, leaf in flat:
+                leaf = np.asarray(leaf)
+                if leaf.ndim >= 1 and leaf.shape[0] == 256:
+                    assert np.all(leaf[pad] == 0.0), \
+                        f"nonzero padding moments at {path}"
+        # one Adam step with zero grads leaves padding params finite/unmoved
+        grads = jax.tree.map(jnp.zeros_like, model2.params)
+        lr_tree = make_lr_tree(model2.params, OptimizationConfig(), 1e-4)
+        new_params, _ = adam_update(grads, opt2, model2.params, lr_tree)
+        assert bool(jnp.isfinite(new_params.opacity).all())
+        np.testing.assert_array_equal(
+            np.asarray(new_params.opacity[pad]),
+            np.asarray(model2.params.opacity[pad]))

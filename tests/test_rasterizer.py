@@ -277,6 +277,87 @@ class TestNaNGuards:
         for arr in g:
             assert bool(jnp.all(jnp.isfinite(arr))), "NaN/inf gradient leaked"
 
+    def test_thin_splat_compensation_grads_bounded(self):
+        """Near-degenerate 2D covariances (det0 cancellation) must give
+        FINITE, BOUNDED compensation gradients on LIVE splats.
+
+        Regression: sqrt(max(det0/det1, 0)) has gradient 0.5/sqrt(x) —
+        ~1e6 at x = 1e-12 and inf exactly at the clamp boundary.  Thin
+        splats land on either side depending on how XLA fuses the det0
+        products; a live splat hitting exact 0 NaN'd xyz/scaling/rotation/
+        opacity through Adam (the 256px bench quality run died this way,
+        fused-window-phase dependent)."""
+        cam = make_test_camera(64, 64, eye=(0.0, -5.0, 0.0))
+        # 45 degrees about the VIEW axis (y): the thin axis lies diagonally
+        # in the screen plane, so c01 is large and det0 = c00 c11 - c01^2
+        # cancels catastrophically as the thin scale shrinks.
+        quat = jnp.asarray([[0.9238795, 0.0, 0.3826834, 0.0]])
+
+        def comp_sum(log_thin):
+            # extremely anisotropic: thin axis from ~1e-1 to ~1e-18
+            scales = jnp.stack([jnp.full_like(log_thin, 0.5),
+                                jnp.full_like(log_thin, 0.5),
+                                jnp.exp(log_thin)], axis=-1)
+            proj = project_gaussians(
+                jnp.zeros((log_thin.shape[0], 3)), scales,
+                jnp.tile(quat, (log_thin.shape[0], 1)),
+                jnp.ones(log_thin.shape[0]), cam, kernel_size=0.1)
+            return jnp.sum(proj.compensation), proj.compensation
+
+        log_thin = jnp.asarray(
+            [-2.0, -6.0, -10.0, -14.0, -20.0, -27.6, -40.0], jnp.float32)
+        (s, comp), g = jax.value_and_grad(comp_sum, has_aux=True)(log_thin)
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), f"non-finite compensation grads: {g}"
+        # the bounded-sqrt floor caps d comp/d ratio at 500; through the
+        # log-scale chain the bound is loose — assert a generous ceiling
+        assert np.abs(g).max() < 1e4, f"compensation grads unbounded: {g}"
+        assert float(comp[0]) > 0.5  # fat splats keep comp ~ 1
+
+        # det0 == EXACT 0: the camera rotation is an exact signed
+        # permutation, so a view-aligned rank-deficient covariance makes
+        # c00 c11 - c01^2 cancel exactly — the old sqrt(max(x, 0)) clamp
+        # boundary, where the gradient was NaN.
+        wv = np.asarray(jax.device_get(cam.world_view))
+        r = wv[:3, :3]
+        v_view = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0],
+                           [0.0, 0.0, 1e-4]], np.float32)
+        cov_world = (r.T @ v_view @ r).astype(np.float32)
+
+        def comp_from_cov(cov):
+            proj = project_gaussians(
+                jnp.zeros((1, 3)), jnp.full((1, 3), 0.1),
+                jnp.asarray([[1.0, 0, 0, 0]]), jnp.ones(1), cam,
+                kernel_size=0.1, cov3d=cov[None])
+            return jnp.sum(proj.compensation)
+
+        gc = np.asarray(jax.grad(comp_from_cov)(jnp.asarray(cov_world)))
+        assert np.isfinite(gc).all(), \
+            f"NaN compensation grad at exact-singular cov2d: {gc}"
+
+    def test_tiny_scale_filter_opacity_grads_finite(self):
+        """prod(s^2) underflow in the 3D-filter compensation must not give
+        inf/NaN gradients (same bounded-sqrt guard as projection)."""
+        from skyfall_gs_tpu.model.gaussians import (
+            GaussianParams, opacity_with_3d_filter)
+
+        def loss(log_s):
+            params = GaussianParams(
+                xyz=jnp.zeros((log_s.shape[0], 3)),
+                features_dc=jnp.zeros((log_s.shape[0], 1, 3)),
+                features_rest=jnp.zeros((log_s.shape[0], 0, 3)),
+                scaling=jnp.broadcast_to(log_s[:, None], (log_s.shape[0], 3)),
+                rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]),
+                                  (log_s.shape[0], 1)),
+                opacity=jnp.zeros((log_s.shape[0], 1)),
+            )
+            return jnp.sum(opacity_with_3d_filter(
+                params, jnp.full(log_s.shape[0], 0.3)))
+
+        log_s = jnp.asarray([-1.0, -10.0, -20.0, -30.0, -60.0], jnp.float32)
+        g = np.asarray(jax.grad(loss)(log_s))
+        assert np.isfinite(g).all(), f"non-finite filter-opacity grads: {g}"
+
     def test_reference_backend_also_finite(self, rng):
         cam = make_test_camera(16, 16, eye=(0.0, -3.0, 0.0))
         d = make_random_splats(rng, 8)
