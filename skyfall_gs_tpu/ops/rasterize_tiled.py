@@ -8,7 +8,7 @@ depth`) forward/backward.  Design (TPU-first, not a CUDA translation):
   * The Pallas kernel grid iterates over 16x16 pixel tiles.  Within a tile it
     streams depth-sorted gaussian entries from HBM in chunks of ``CHUNK``
     with double-buffered async DMA.  Attributes live transposed as
-    ``(24, cap_pad)`` so a chunk DMA slices the lane dimension at
+    ``(16, cap_pad)`` so a chunk DMA slices the lane dimension at
     256-aligned offsets (the Mosaic DMA alignment rule).
   * Per chunk: pixels on sublanes (the tile's 256 pixels as a (256, 1)
     column), gaussians on lanes ((1, CHUNK) attribute rows) -> (256, CHUNK)
@@ -41,14 +41,13 @@ projection before it and the gather into sorted order are plain JAX, so XLA
 autodiff routes gradients to the 3D parameters (including duplicate-entry
 accumulation through the gather transpose) automatically.
 
-Attribute row layout (24, cap_pad) — 24 because Mosaic requires sublane
-extents in multiples of 8:
+Attribute row layout (16, cap_pad) — Mosaic requires sublane extents in
+multiples of 8, and 15 content rows pack exactly into 16 (an earlier
+18-row layout rounded up to 24, paying +50% DMA/gather bytes for pad):
   rows 0..6   blend channels (r, g, b, depth, nx, ny, nz)
-  row  7      zero pad
+  row  7      zero pad (keeps the channel block at the MXU-friendly 8)
   rows 8..13  mx, my, conic_a, conic_b, conic_c, opacity
-  rows 14,15  zero pad
-  rows 16,17  AbsGS dummy (zeros in; backward emits |dmx|, |dmy| here)
-  rows 18..23 zero pad
+  rows 14,15  AbsGS dummy (zeros in; backward emits |dmx|, |dmy| here)
 
 The AbsGS rows ride in the SAME table as the real attributes so the whole
 backward needs exactly ONE gather and ONE transpose scatter-add: profiled
@@ -72,7 +71,7 @@ from skyfall_gs_tpu.ops.binning import TILE, bin_gaussians, num_tiles
 from skyfall_gs_tpu.ops.rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
 P = TILE * TILE      # pixels per tile = 256
-NA = 24              # attribute rows per entry (16 + 2 AbsGS + 6 sublane pad)
+NA = 16              # attribute rows per entry (8 channel + 6 geom + 2 AbsGS)
 CHUNK = 128          # gaussian entries per prefix-scan sub-chunk
 # (CHUNK=256 for the SCAN doubles per-entry MXU prefix work: +18 ms/step;
 #  64 violates the 128-lane DMA slice alignment.)
@@ -354,12 +353,10 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
             dout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (8, G)
 
-        zrow2 = jnp.zeros((2, CHUNK), jnp.float32)
-        zrow6 = jnp.zeros((6, CHUNK), jnp.float32)
         dchunk = jnp.concatenate(
-            [dcol, dmx, dmy, dca, dcb, dcc, dop, zrow2, absx, absy, zrow6],
+            [dcol, dmx, dmy, dca, dcb, dcc, dop, absx, absy],
             axis=0,
-        )                                                     # (24, G)
+        )                                                     # (16, G)
 
         t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
         # Carry the chunk total: q's summand w * a_dot is zeroed past
@@ -515,12 +512,12 @@ def _bwd_call(cfg: _Config, attrs, start, count, fresh, offx, offy, outres,
 def _make_composite(cfg: _Config):
     """Differentiable composite over the packed sorted entry stream.
 
-    ``attrs`` — the 24-row table INCLUDING the AbsGS dummy rows — is
+    ``attrs`` — the 16-row table INCLUDING the AbsGS dummy rows — is
     gathered by binning.gather_idx OUTSIDE this boundary, as one gather.
     The backward kernel writes per-entry gradient rows straight back in
     the same packed entry order (boundary chunks accumulate, see kernel),
     so its output IS the cotangent of the packed attribute gather (rows
-    7/14/15 re-zeroed; AbsGS grads in rows 16/17), and per-gaussian
+    7 re-zeroed; AbsGS grads in rows 14/15), and per-gaussian
     accumulation for ALL rows — real attributes and AbsGS alike — happens
     in that single gather's transpose: exactly one scatter-add per step.
     (Design history: scatter-adds cost ~13 ns/index regardless of row
@@ -544,7 +541,7 @@ def _make_composite(cfg: _Config):
         dout, dtfin = cot
         dpadded = _bwd_call(cfg, attrs, start, count, fresh, offx, offy,
                             out, tfin, dout, dtfin)        # (NA, cap_pad)
-        d_attrs = dpadded.at[14:16, :].set(0.0).at[7, :].set(0.0)
+        d_attrs = dpadded.at[7, :].set(0.0)
         f0 = lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0)
         return (d_attrs, f0(start), f0(count), f0(fresh),
                 jnp.zeros_like(offx), jnp.zeros_like(offy))
@@ -627,8 +624,7 @@ def composite_tiled(
         mean2d_abs_dummy = jnp.zeros((n, 2), mean2d.dtype)
     attrs = jnp.concatenate(
         [channels, jnp.zeros((n, 1), channels.dtype), mean2d, conic,
-         opacity[:, None], jnp.zeros((n, 2), channels.dtype),
-         mean2d_abs_dummy, jnp.zeros((n, 6), channels.dtype)],
+         opacity[:, None], mean2d_abs_dummy],
         axis=1,
     )
     attrs = jnp.pad(attrs, ((0, 1), (0, 0)))
@@ -655,7 +651,7 @@ def composite_tiled(
         out, tfin = _fwd_call(cfg, attrs.T[:, gi], binned.tile_start,
                               binned.tile_count, offx, offy)
     else:
-        attrs_sorted = attrs.T[:, gi]                        # (24, cap_pad)
+        attrs_sorted = attrs.T[:, gi]                        # (16, cap_pad)
         out, tfin = _make_composite(cfg)(
             attrs_sorted, binned.tile_start, binned.tile_count,
             binned.write_fresh, offx, offy,
