@@ -29,6 +29,26 @@ MEASURE = 40
 
 
 def main():
+    import threading
+
+    # Watchdog: a wedged axon tunnel hangs the first device claim forever
+    # (see CLAUDE.md), which would leave the driver with NO output line at
+    # all.  If the TPU doesn't respond within 15 minutes (well past the
+    # 30-90 s/signature remote-compile budget), emit an explicit
+    # infra-failure line; any real result printed later supersedes it (the
+    # driver parses the output tail).
+    fallback = {
+        "metric": "stage1_train_iters_per_sec_512px_100k",
+        "value": 0.0,
+        "unit": "iters/sec",
+        "vs_baseline": 0.0,
+        "error": "tpu_tunnel_unresponsive_900s",
+    }
+    watchdog = threading.Timer(
+        900.0, lambda: print(json.dumps(fallback), flush=True))
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +136,7 @@ def main():
     # sync by reading a scalar back: block_until_ready does not actually
     # synchronize through the axon tunnel
     float(np.asarray(ts.model.params.xyz[0, 0]))
+    watchdog.cancel()  # device responded; disarm the tunnel watchdog
 
     t0 = time.perf_counter()
     for i in range(warm_wins, n_win):
