@@ -99,9 +99,17 @@ def main(argv=None) -> None:
 
         gui = NetworkGUI(args.gui_ip, args.gui_port)
 
+    mesh = None
+    if pipe_cfg.data_parallel:
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+
+        n = pipe_cfg.data_parallel
+        mesh = make_mesh(None if n < 0 else n)
+        print(f"view-parallel training over {mesh.shape['data']} devices")
+
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene,
                       depth_predictor=depth_pred, rng_seed=args.seed,
-                      gui=gui, profile_dir=args.profile_dir)
+                      gui=gui, profile_dir=args.profile_dir, mesh=mesh)
 
     if args.iterative_datasets_update:
         if not args.start_checkpoint:

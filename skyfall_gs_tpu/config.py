@@ -86,6 +86,11 @@ class PipelineConfig:
     # pseudo-view supervision, densify, opacity reset, logging milestones)
     # and fall back to single steps when the GUI is attached.  1 = off.
     fuse_steps: int = 8
+    # View-parallel data parallelism: train B views per iteration over a
+    # B-device mesh (gradients pmean'd over ICI, replicated update; see
+    # parallel/sharding.py and the Trainer docstring for the batch-scaling
+    # semantics).  0 = off, -1 = all local devices, N = exactly N devices.
+    data_parallel: int = 0
 
 
 @dataclass

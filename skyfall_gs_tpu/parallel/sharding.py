@@ -31,32 +31,76 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from skyfall_gs_tpu.model.densify import add_densification_stats
-from skyfall_gs_tpu.model.gaussians import get_opacity
 from skyfall_gs_tpu.model.optim import (
     adam_update,
     make_lr_tree,
     make_weight_decay_tree,
 )
 from skyfall_gs_tpu.model.render import render
-from skyfall_gs_tpu.ops.losses import (
-    depth_pearson_loss,
-    opacity_entropy_loss,
-    photometric_loss,
-    psnr,
-)
-from skyfall_gs_tpu.train.step import StepMetrics, TrainState
+from skyfall_gs_tpu.train.step import StepMetrics, TrainState, _build_grads_fn
+
+
+def _combine_and_update(state: TrainState, loss, aux_out, gparams, gdummies,
+                        w, h, opt_cfg, xyz_lr, axis: str):
+    """ICI collectives + replicated optimizer update, shared by every
+    view-parallel step variant.
+
+    * parameter gradients: ``pmean`` (equivalent to averaging the B
+      per-view losses);
+    * densification statistics: ``psum`` of per-view accumulator deltas and
+      visibility counts, ``pmax`` of radii — the exact B-view
+      generalization of the reference's sequential accumulation;
+    * metrics: ``pmean`` (overflow: ``psum``).
+    """
+    model = state.model
+    gparams = jax.lax.pmean(gparams, axis)
+    aux0 = model.aux
+    aux1 = add_densification_stats(aux0, gdummies[0], gdummies[1],
+                                   aux_out["radii"], w, h)
+    new_aux = aux0.replace(
+        grad_accum=aux0.grad_accum + jax.lax.psum(
+            aux1.grad_accum - aux0.grad_accum, axis),
+        grad_accum_abs=aux0.grad_accum_abs + jax.lax.psum(
+            aux1.grad_accum_abs - aux0.grad_accum_abs, axis),
+        grad_accum_abs_max=jax.lax.pmax(aux1.grad_accum_abs_max, axis),
+        denom=aux0.denom + jax.lax.psum(aux1.denom - aux0.denom, axis),
+        max_radii2d=jax.lax.pmax(aux1.max_radii2d, axis),
+    )
+
+    lr_tree = make_lr_tree(model.params, opt_cfg, xyz_lr)
+    wd_tree = make_weight_decay_tree(model.params, opt_cfg)
+    new_params, new_opt = adam_update(
+        gparams, state.opt, model.params, lr_tree,
+        weight_decay_tree=wd_tree)
+
+    new_state = TrainState(
+        model=model.replace(params=new_params, aux=new_aux),
+        opt=new_opt, step=state.step + 1)
+    metrics = StepMetrics(
+        loss=jax.lax.pmean(loss, axis),
+        l1=jax.lax.pmean(aux_out["l1"], axis),
+        depth_loss=jax.lax.pmean(aux_out["depth_loss"], axis),
+        opacity_loss=aux_out["opacity_loss"],
+        psnr=jax.lax.pmean(aux_out["psnr"], axis),
+        n_alive=jnp.sum(new_aux.alive),
+        overflow=jax.lax.psum(aux_out["overflow"], axis),
+    )
+    return new_state, metrics
 
 
 def _build_parallel_step(
     mesh: Mesh,
     opt_cfg,
-    kernel_size: float = 0.1,
-    backend: str = "tiled",
-    use_depth: bool = True,
     axis: str = "data",
-    bin_capacity=None,
+    **step_kwargs,
 ):
     """Build the raw (unjitted) shard_map'd multi-device train step.
+
+    The per-view loss/gradient core is the SAME function the single-device
+    step compiles (train.step._build_grads_fn) — every step option
+    (kernel_size, backend, use_depth, photometric, lpips_fn, bin_capacity,
+    ...) behaves identically; this wrapper only adds the ICI collectives
+    between gradient computation and the replicated optimizer update.
 
     Signature of the returned function:
         step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
@@ -64,85 +108,18 @@ def _build_parallel_step(
           -> (state, StepMetrics)
     where B == mesh size along ``axis``.
     """
+    grads_fn = _build_grads_fn(opt_cfg, **step_kwargs)
 
     def local_step(state: TrainState, cam_b, image_b, mask_b, depth_b, bg,
                    xyz_lr, lambda_opacity):
         # Local shard: exactly one view.
         camera = jax.tree.map(lambda x: x[0], cam_b)
-        gt_image, gt_mask, gt_depth = image_b[0], mask_b[0], depth_b[0]
-        model = state.model
-        cap = model.params.capacity
-        h, w = camera.height, camera.width
-
-        dummies0 = (jnp.zeros((cap, 2)), jnp.zeros((cap, 2)))
-
-        def loss_fn(params, dummies):
-            m = model.replace(params=params)
-            out = render(m, camera, bg, kernel_size=kernel_size,
-                         mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
-                         backend=backend, bin_capacity=bin_capacity)
-            image = out.color * gt_mask[..., None]
-            gt = gt_image * gt_mask[..., None]
-            photo, ll1 = photometric_loss(
-                jnp.transpose(image, (2, 0, 1)),
-                jnp.transpose(gt, (2, 0, 1)),
-                opt_cfg.lambda_dssim)
-            total = photo
-            d_loss = jnp.zeros(())
-            if use_depth and opt_cfg.lambda_depth > 0:
-                d_loss = depth_pearson_loss(gt_depth * gt_mask,
-                                            out.depth * gt_mask)
-                total = total + opt_cfg.lambda_depth * d_loss
-            o_loss = opacity_entropy_loss(get_opacity(params), m.aux.alive)
-            total = total + lambda_opacity * o_loss
-            overflow = (out.overflow if out.overflow is not None
-                        else jnp.zeros((), jnp.int32))
-            return total, {"l1": ll1, "depth_loss": d_loss,
-                           "opacity_loss": o_loss, "radii": out.radii,
-                           "psnr": psnr(image, gt),
-                           "overflow": jax.lax.stop_gradient(overflow)}
-
-        (loss, aux_out), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
-        gparams, gdummies = grads
-
-        # ---- collectives over ICI ----------------------------------------
-        gparams = jax.lax.pmean(gparams, axis)
-        # Densification stats: per-view accumulators sum across devices;
-        # maxima take pmax — the exact B-view generalization of the
-        # reference's per-step accumulation.
-        aux0 = model.aux
-        aux1 = add_densification_stats(aux0, gdummies[0], gdummies[1],
-                                       aux_out["radii"], w, h)
-        new_aux = aux0.replace(
-            grad_accum=aux0.grad_accum + jax.lax.psum(
-                aux1.grad_accum - aux0.grad_accum, axis),
-            grad_accum_abs=aux0.grad_accum_abs + jax.lax.psum(
-                aux1.grad_accum_abs - aux0.grad_accum_abs, axis),
-            grad_accum_abs_max=jax.lax.pmax(aux1.grad_accum_abs_max, axis),
-            denom=aux0.denom + jax.lax.psum(aux1.denom - aux0.denom, axis),
-            max_radii2d=jax.lax.pmax(aux1.max_radii2d, axis),
-        )
-
-        lr_tree = make_lr_tree(model.params, opt_cfg, xyz_lr)
-        wd_tree = make_weight_decay_tree(model.params, opt_cfg)
-        new_params, new_opt = adam_update(
-            gparams, state.opt, model.params, lr_tree,
-            weight_decay_tree=wd_tree)
-
-        new_state = TrainState(
-            model=model.replace(params=new_params, aux=new_aux),
-            opt=new_opt, step=state.step + 1)
-        metrics = StepMetrics(
-            loss=jax.lax.pmean(loss, axis),
-            l1=jax.lax.pmean(aux_out["l1"], axis),
-            depth_loss=jax.lax.pmean(aux_out["depth_loss"], axis),
-            opacity_loss=aux_out["opacity_loss"],
-            psnr=jax.lax.pmean(aux_out["psnr"], axis),
-            n_alive=jnp.sum(new_aux.alive),
-            overflow=jax.lax.psum(aux_out["overflow"], axis),
-        )
-        return new_state, metrics
+        loss, aux_out, gparams, gdummies = grads_fn(
+            state.model, camera, image_b[0], mask_b[0], depth_b[0], bg,
+            jax.random.PRNGKey(0), lambda_opacity)
+        return _combine_and_update(
+            state, loss, aux_out, gparams, gdummies,
+            camera.width, camera.height, opt_cfg, xyz_lr, axis)
 
     sharded = shard_map(
         local_step, mesh=mesh,
@@ -191,6 +168,61 @@ def make_parallel_multistep(mesh: Mesh, *args, **kwargs):
              lambda_opacities))
 
     return jax.jit(multi)
+
+
+def make_parallel_multistep_indexed(mesh: Mesh, opt_cfg, axis: str = "data",
+                                    use_pseudo: bool = False, **step_kwargs):
+    """Scan-fused view-parallel window over DEVICE-RESIDENT view groups.
+
+    The Trainer's multi-chip hot path: like make_parallel_multistep, but the
+    whole resolution group's stacked views are passed by device handle
+    (replicated) and each scan step dynamic-slices its device's view — the
+    host stages only the (K, B) index picks per window, never pixels.
+    Per-view ray-jitter keys derive from the per-step key by folding in the
+    device's mesh position.
+
+    Signature:
+        multi(state, cameras (M-stacked pytree), images (M,H,W,3),
+              masks (M,H,W), depths (M,H,W), idxs (K,B) int32, bg (3,),
+              rngs (K,2) per-step keys, xyz_lrs (K,), lambda_opacities (K,)
+              [, pseudo_cameras (K-stacked), pseudo_depths (K,Hp,Wp),
+               pseudo_scales (K,)])
+            -> (state, StepMetrics with (K,)-leaves)
+    where B == mesh size along ``axis``.  Pseudo-view supervision args are
+    replicated — every device adds the same pseudo-depth term, and the
+    pmean leaves its gradient contribution identical to the single-device
+    semantics.
+    """
+    grads_fn = _build_grads_fn(opt_cfg, use_pseudo=use_pseudo, **step_kwargs)
+
+    def local_multi(state, cameras, images, masks, depths, idxs, bg, rngs,
+                    xyz_lrs, lambda_opacities, *pseudo_kargs):
+        def body(st, xs):
+            i, key, lr, lam = xs[:4]
+            pseudo = xs[4:]
+            i0 = i[0]  # local (1,) slice of this step's (B,) picks
+            cam = jax.tree.map(lambda x: x[i0], cameras)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            loss, aux_out, gparams, gdummies = grads_fn(
+                st.model, cam, images[i0], masks[i0], depths[i0], bg,
+                key, lam, *pseudo)
+            return _combine_and_update(
+                st, loss, aux_out, gparams, gdummies,
+                cam.width, cam.height, opt_cfg, lr, axis)
+
+        return jax.lax.scan(
+            body, state, (idxs, rngs, xyz_lrs, lambda_opacities)
+            + tuple(pseudo_kargs))
+
+    n_extra = 3 if use_pseudo else 0
+    sharded = shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(None, axis), P(), P(), P(), P())
+        + (P(),) * n_extra,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,

@@ -58,7 +58,21 @@ from skyfall_gs_tpu.utils.general import expon_lr_schedule
 
 @dataclass
 class Trainer:
-    """Drives Stage-1 training for one scene."""
+    """Drives Stage-1 training for one scene.
+
+    Multi-chip: pass ``mesh`` (a 1-axis jax.sharding.Mesh) to train
+    view-parallel over the mesh — every iteration becomes one B-view
+    batched step (B = mesh size): per-device gradients are pmean'd over
+    ICI, densification statistics psum/pmax'd, and the optimizer update
+    runs replicated (parallel/sharding.py).  The curriculum (densify
+    cadence, LR schedule, SH bumps, opacity resets) still counts
+    iterations, so a mesh run consumes B views per iteration — the
+    standard data-parallel batch-scaling regime (reference trains strictly
+    one view/step on one GPU; this axis is new TPU capability).  Each
+    step's views come from one resolution group: the lead view is sampled
+    exactly like the single-device stream (incl. the 30% high-res
+    resampling), the other B-1 uniformly from the lead's group.
+    """
 
     model_cfg: ModelConfig
     opt_cfg: OptimizationConfig
@@ -70,6 +84,8 @@ class Trainer:
     gui: Optional[object] = None                 # viz.network_gui.NetworkGUI
     profile_dir: Optional[str] = None            # jax.profiler trace output
     profile_steps: int = 20
+    mesh: Optional[object] = None                # jax.sharding.Mesh (1 axis)
+    mesh_axis: str = "data"
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -98,6 +114,9 @@ class Trainer:
         self.filter_cams = camera_filter_arrays(
             [v.camera for v in self.scene.train_views]
         )
+        self._mesh_B = (
+            int(self.mesh.shape[self.mesh_axis]) if self.mesh is not None
+            else 0)
 
         groups = self.scene.train_groups
         self.group_keys = list(groups.keys())
@@ -169,6 +188,34 @@ class Trainer:
             self._step_fns[key] = make_train_multistep(
                 self.opt_cfg, **self._step_kwargs(use_depth))
         return self._step_fns[key]
+
+    def _get_parallel_multi_fn(self, use_depth: bool,
+                               use_pseudo: bool = False):
+        key = ("pmulti", use_depth, use_pseudo, self.bin_capacity)
+        if key not in self._step_fns:
+            from skyfall_gs_tpu.parallel.sharding import (
+                make_parallel_multistep_indexed,
+            )
+
+            self._step_fns[key] = make_parallel_multistep_indexed(
+                self.mesh, self.opt_cfg, axis=self.mesh_axis,
+                use_pseudo=use_pseudo, **self._step_kwargs(use_depth))
+        return self._step_fns[key]
+
+    def _pick_step(self):
+        """One step's view pick: (group, index) single-device, or
+        (group, [B indices]) in mesh mode — the lead index is sampled
+        exactly like the single-device stream, the other B-1 uniformly from
+        the lead's group (iid with replacement).  The whole row is drawn at
+        pick time so fused and unfused loops consume the host RNG stream
+        identically (rows, not leads, are pushed back by short windows)."""
+        g, i = self._pick_view()
+        if self.mesh is None:
+            return g, i
+        if isinstance(i, list):  # a pushed-back, fully-drawn row
+            return g, i
+        return g, [i] + [self.py_rng.randrange(g.size)
+                         for _ in range(self._mesh_B - 1)]
 
     def _step_kwargs(self, use_depth: bool):
         lpips_fn = None
@@ -377,7 +424,7 @@ class Trainer:
             if iteration % 1000 == 0:
                 state = state.replace(model=state.model.one_up_sh_degree())
 
-            g, i = self._pick_view()
+            g, i = self._pick_step()
             use_depth = o.lambda_depth > 0 and g.has_depth
             use_pseudo = pseudo_at(iteration)
 
@@ -394,7 +441,7 @@ class Trainer:
                        and iteration + len(picks) <= iterations
                        and not pre_event(iteration + len(picks))
                        and not post_event(iteration + len(picks) - 1)):
-                    g2, i2 = self._pick_view()
+                    g2, i2 = self._pick_step()
                     if g2 is not g:
                         self._push_back_pick((g2, i2))
                         break
@@ -423,15 +470,22 @@ class Trainer:
                 for _ in range(w):
                     self.rng, krng = jax.random.split(self.rng)
                     ks.append(krng)
-                multi_fn = self._get_multistep_fn(use_depth)
-                state, metrics_stack = multi_fn(
-                    state, g.cameras, g.images, g.masks, g.depths,
-                    jnp.asarray(picks, jnp.int32), self.bg,
-                    jnp.stack(ks),
-                    jnp.asarray([xyz_sched(iteration + k) for k in range(w)],
-                                jnp.float32),
-                    jnp.asarray(lams, jnp.float32),
-                )
+                lrs_w = jnp.asarray(
+                    [xyz_sched(iteration + k) for k in range(w)], jnp.float32)
+                if self.mesh is not None:
+                    multi_fn = self._get_parallel_multi_fn(use_depth)
+                    state, metrics_stack = multi_fn(
+                        state, g.cameras, g.images, g.masks, g.depths,
+                        jnp.asarray(picks, jnp.int32), self.bg,
+                        jnp.stack(ks), lrs_w, jnp.asarray(lams, jnp.float32),
+                    )
+                else:
+                    multi_fn = self._get_multistep_fn(use_depth)
+                    state, metrics_stack = multi_fn(
+                        state, g.cameras, g.images, g.masks, g.depths,
+                        jnp.asarray(picks, jnp.int32), self.bg,
+                        jnp.stack(ks), lrs_w, jnp.asarray(lams, jnp.float32),
+                    )
                 if self.logger:
                     for k in range(w):
                         self.logger.log_step(
@@ -441,7 +495,6 @@ class Trainer:
                 metrics = jax.tree.map(lambda x: x[w - 1], metrics_stack)
                 iteration += w - 1  # post-step processing runs for the last
             else:
-                cam, image, mask, depth = g.select(i)
                 pseudo_args = ()
                 if use_pseudo:
                     if not pseudo_stack:
@@ -457,13 +510,32 @@ class Trainer:
                                    jnp.float32(scale))
 
                 self.rng, krng = jax.random.split(self.rng)
-                step_fn = self._get_step_fn(use_depth, use_pseudo)
-                state, metrics = step_fn(
-                    state, cam, image, mask, depth, self.bg, krng,
-                    jnp.float32(xyz_sched(iteration)),
-                    jnp.float32(lambda_opacity),
-                    *pseudo_args,
-                )
+                if self.mesh is not None:
+                    # K=1 window of the indexed parallel step (pseudo args
+                    # ride replicated with a leading K axis).
+                    pk = ()
+                    if use_pseudo:
+                        pcam, pdepth, pscale = pseudo_args
+                        pk = (jax.tree.map(lambda x: jnp.asarray(x)[None],
+                                           pcam),
+                              pdepth[None], pscale[None])
+                    multi_fn = self._get_parallel_multi_fn(
+                        use_depth, use_pseudo)
+                    state, mstack = multi_fn(
+                        state, g.cameras, g.images, g.masks, g.depths,
+                        jnp.asarray([i], jnp.int32), self.bg, krng[None],
+                        jnp.asarray([xyz_sched(iteration)], jnp.float32),
+                        jnp.asarray([lambda_opacity], jnp.float32), *pk)
+                    metrics = jax.tree.map(lambda x: x[0], mstack)
+                else:
+                    cam, image, mask, depth = g.select(i)
+                    step_fn = self._get_step_fn(use_depth, use_pseudo)
+                    state, metrics = step_fn(
+                        state, cam, image, mask, depth, self.bg, krng,
+                        jnp.float32(xyz_sched(iteration)),
+                        jnp.float32(lambda_opacity),
+                        *pseudo_args,
+                    )
 
             # ---- densification ------------------------------------------
             if iteration < o.densify_until_iter:

@@ -86,7 +86,7 @@ def resample_with_offset(image: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray
     return jnp.stack([chan(image[..., i]) for i in range(image.shape[-1])], -1)
 
 
-def _build_step_fn(
+def _build_grads_fn(
     opt_cfg,
     kernel_size: float = 0.1,
     backend: str = "tiled",
@@ -99,19 +99,22 @@ def _build_step_fn(
     bin_capacity: Optional[int] = None,
     lpips_fn=None,
 ):
-    """Build the raw (unjitted) step function for one resolution group.
+    """Build the per-view loss/gradient core shared by the single-device
+    step and the multi-device (view-parallel) step: everything from render
+    through value_and_grad, but NOT the optimizer update or densification
+    statistics — the parallel step inserts its ICI collectives between the
+    two (parallel/sharding.py).
 
     Signature:
-        step(state, camera, gt_image (H,W,3), gt_mask (H,W), gt_depth (H,W),
-             bg (3,), rng, xyz_lr, lambda_opacity,
-             [pseudo_camera, pseudo_gt_depth, pseudo_scale])
-            -> (state, StepMetrics)
+        grads(model, camera, gt_image (H,W,3), gt_mask (H,W), gt_depth (H,W),
+              bg (3,), rng, lambda_opacity,
+              [pseudo_camera, pseudo_gt_depth, pseudo_scale])
+            -> (loss, aux_out dict, gparams, gdummies)
     """
 
-    def step_fn(state: TrainState, camera: Camera, gt_image, gt_mask, gt_depth,
-                bg, rng, xyz_lr, lambda_opacity,
-                pseudo_camera=None, pseudo_gt_depth=None, pseudo_scale=None):
-        model = state.model
+    def grads_fn(model, camera: Camera, gt_image, gt_mask, gt_depth,
+                 bg, rng, lambda_opacity,
+                 pseudo_camera=None, pseudo_gt_depth=None, pseudo_scale=None):
         cap = model.params.capacity
         h, w = camera.height, camera.width
 
@@ -197,6 +200,29 @@ def _build_step_fn(
             loss_fn, argnums=(0, 1), has_aux=True
         )(model.params, dummies0)
         gparams, gdummies = grads
+        return loss, aux_out, gparams, gdummies
+
+    return grads_fn
+
+
+def _build_step_fn(opt_cfg, **kwargs):
+    """Build the raw (unjitted) step function for one resolution group.
+
+    Signature:
+        step(state, camera, gt_image (H,W,3), gt_mask (H,W), gt_depth (H,W),
+             bg (3,), rng, xyz_lr, lambda_opacity,
+             [pseudo_camera, pseudo_gt_depth, pseudo_scale])
+            -> (state, StepMetrics)
+    """
+    grads_fn = _build_grads_fn(opt_cfg, **kwargs)
+
+    def step_fn(state: TrainState, camera: Camera, gt_image, gt_mask, gt_depth,
+                bg, rng, xyz_lr, lambda_opacity, *pseudo_args):
+        model = state.model
+        h, w = camera.height, camera.width
+        loss, aux_out, gparams, gdummies = grads_fn(
+            model, camera, gt_image, gt_mask, gt_depth, bg, rng,
+            lambda_opacity, *pseudo_args)
 
         new_aux = add_densification_stats(
             model.aux, gdummies[0], gdummies[1], aux_out["radii"], w, h
