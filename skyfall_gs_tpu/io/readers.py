@@ -82,6 +82,20 @@ def _load_image_rgba_composited(path: str, white_background: bool) -> np.ndarray
     return data[..., :3] * data[..., 3:4] + bg * (1.0 - data[..., 3:4])
 
 
+def _prefetch_images(paths, loader) -> dict:
+    """Decode a scene's images concurrently: PIL releases the GIL during
+    decode, so a thread pool cuts the serial startup cost (hundreds of
+    1600px frames at production scale; the reference loads one-by-one,
+    scene/dataset_readers.py).  Returns {path: array}."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    uniq = list(dict.fromkeys(paths))
+    if len(uniq) <= 1:
+        return {p: loader(p) for p in uniq}
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        return dict(zip(uniq, ex.map(loader, uniq)))
+
+
 def nerfpp_normalization(cameras: List[CameraRecord]) -> tuple[np.ndarray, float]:
     """Camera-centroid translate + 1.1 x max-distance radius."""
     centers = []
@@ -144,6 +158,10 @@ def read_colmap_scene(path: str, images_dir: str = "images", eval_split: bool = 
         extr = colmap_io.read_images_text(os.path.join(sparse, "images.txt"))
         intr = colmap_io.read_cameras_text(os.path.join(sparse, "cameras.txt"))
 
+    images = _prefetch_images(
+        [os.path.join(path, images_dir, os.path.basename(extr[k].name))
+         for k in extr],
+        _load_image) if load_images else {}
     records: List[CameraRecord] = []
     for key in extr:
         e = extr[key]
@@ -169,7 +187,7 @@ def read_colmap_scene(path: str, images_dir: str = "images", eval_split: bool = 
             cx=(cx_px - c.width / 2) / c.width * 2,
             cy=(cy_px - c.height / 2) / c.height * 2,
             width=c.width, height=c.height,
-            image=_load_image(img_path) if load_images else None,
+            image=images[img_path] if load_images else None,
             image_name=os.path.basename(img_path).split(".")[0],
             image_path=img_path,
         )
@@ -206,6 +224,10 @@ def _read_transforms_cameras(path: str, fname: str, white_background: bool,
     with open(os.path.join(path, fname)) as f:
         contents = json.load(f)
     fov_x = contents["camera_angle_x"]
+    images = _prefetch_images(
+        [os.path.join(path, f["file_path"] + extension)
+         for f in contents["frames"]],
+        lambda p: _load_image_rgba_composited(p, white_background))
     records = []
     for idx, frame in enumerate(contents["frames"]):
         c2w = np.array(frame["transform_matrix"], np.float64)
@@ -214,7 +236,7 @@ def _read_transforms_cameras(path: str, fname: str, white_background: bool,
         R = w2c[:3, :3].T
         T = w2c[:3, 3]
         img_path = os.path.join(path, frame["file_path"] + extension)
-        image = _load_image_rgba_composited(img_path, white_background)
+        image = images[img_path]
         h, w = image.shape[:2]
         fov_y = focal_to_fov(fov_to_focal(fov_x, w), h)
         records.append(CameraRecord(
@@ -251,6 +273,10 @@ def _read_multiscale_cameras(path: str, split: str, white_background: bool,
                              only_highres: bool) -> List[CameraRecord]:
     with open(os.path.join(path, "metadata.json")) as f:
         meta = json.load(f)[split]
+    images = _prefetch_images(
+        [os.path.join(path, rel) for rel in meta["file_path"]
+         if not (only_highres and not rel.endswith("d0.png"))],
+        lambda p: _load_image_rgba_composited(p, white_background))
     records = []
     for idx, rel in enumerate(meta["file_path"]):
         if only_highres and not rel.endswith("d0.png"):
@@ -259,7 +285,7 @@ def _read_multiscale_cameras(path: str, split: str, white_background: bool,
         c2w[:3, 1:3] *= -1
         w2c = np.linalg.inv(c2w)
         img_path = os.path.join(path, rel)
-        image = _load_image_rgba_composited(img_path, white_background)
+        image = images[img_path]
         h, w = image.shape[:2]
         focal = meta["focal"][idx]
         records.append(CameraRecord(
@@ -307,10 +333,13 @@ def _read_satellite_cameras(path: str, fname: str) -> tuple[List[CameraRecord],
         r_fix = t_fix = None
         c2w_key = "transform_matrix"
 
+    images = _prefetch_images(
+        [os.path.join(path, f["file_path"]) for f in contents["frames"]],
+        _load_image)
     records = []
     for idx, frame in enumerate(contents["frames"]):
         img_path = os.path.join(path, frame["file_path"])
-        image = _load_image(img_path)
+        image = images[img_path]
         h, w = image.shape[:2]
         name = Path(img_path).stem
 
