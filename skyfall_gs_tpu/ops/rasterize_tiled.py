@@ -342,20 +342,25 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
         # subexpression).  Float reassociation only; parity-tested.
         u = dpower * dx
         v = dpower * dy
-        ddx = -(ca * u + cb * v)       # = dpower * -(ca dx + cb dy)
-        ddy = -(cc * v + cb * u)
+        # sx = -ddx (and sy = -ddy): the only consumers are dmx = -csum(ddx)
+        # and csum(|ddx|), so the (P, G) negation is dead work — reduce the
+        # un-negated form.  Likewise the -0.5 / -1 constants move AFTER the
+        # sublane reduction onto the (1, G) rows (scalar * is exact, and a
+        # power-of-two scale commutes with the sum bit-identically).
+        sx = ca * u + cb * v           # = -ddx = dpower * (ca dx + cb dy)
+        sy = cc * v + cb * u
 
         def csum(x):
             return jnp.sum(x, axis=0, keepdims=True)          # (1, G)
 
-        dmx = -csum(ddx)
-        dmy = -csum(ddy)
-        dca = csum(-0.5 * (u * dx))
-        dcb = csum(-(u * dy))
-        dcc = csum(-0.5 * (v * dy))
+        dmx = csum(sx)
+        dmy = csum(sy)
+        dca = -0.5 * csum(u * dx)
+        dcb = -csum(u * dy)
+        dcc = -0.5 * csum(v * dy)
         dop = csum(dop_px)
-        absx = csum(jnp.abs(ddx))
-        absy = csum(jnp.abs(ddy))
+        absx = csum(jnp.abs(sx))
+        absy = csum(jnp.abs(sy))
         dcol = jax.lax.dot_general(
             dout, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (8, G)
