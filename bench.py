@@ -221,4 +221,18 @@ def quality_metric():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        # A compile/runtime failure before the perf line would otherwise
+        # leave the driver with NOTHING to parse (the tunnel watchdog only
+        # covers a silent hang).  Emit an explicit failure line and re-raise
+        # so the traceback still reaches the log.
+        print(json.dumps({
+            "metric": "stage1_train_iters_per_sec_512px_100k",
+            "value": 0.0,
+            "unit": "iters/sec",
+            "vs_baseline": 0.0,
+            "error": f"bench_exception: {type(e).__name__}: {e}"[:500],
+        }), flush=True)
+        raise
