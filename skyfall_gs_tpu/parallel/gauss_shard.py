@@ -142,35 +142,29 @@ def sharded_render_merge(
     return color, depth, alpha, proj.radius, overflow
 
 
-def make_gauss_sharded_train_step(
-    mesh: Mesh,
+def _build_gauss_grads_fn(
     opt_cfg,
     template_state: TrainState,
-    kernel_size: float = 0.1,
-    use_depth: bool = True,
-    axis: str = "gauss",
+    kernel_size: float,
+    use_depth: bool,
+    axis: str,
+    num_bins: int,
     bin_capacity=None,
 ):
-    """Build the jitted splat-sharded train step.
+    """Per-view loss + gradients on a gaussian shard (the shared core of the
+    splat-sharded step and the 2D view x gauss grid step).
 
-    The TrainState's per-splat leaves must be sharded along ``axis`` (use
-    :func:`shard_train_state`); camera/images are replicated.  The
-    appearance model rides along: per-splat Fourier ``embeddings`` shard
-    with the splats, the camera table + MLP replicate, and their gradients
-    are ``psum``-reduced across shards (each shard only sees its own
-    splats' contribution).
-
-    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
-    lambda_opacity) -> (state, StepMetrics).
+    Runs inside shard_map; all collectives are over ``axis`` (the gaussian
+    axis).  Returns ``grads(model, camera, gt_image, gt_mask, gt_depth, bg,
+    lambda_opacity) -> (loss, aux_out, gparams, gdummies)`` where gparams'
+    replicated appearance leaves are already psum'd over the shards.
     """
-    num_bins = mesh.shape[axis]
     has_appearance = (
         template_state.model.params.appearance_embeddings is not None
         and template_state.model.params.appearance_mlp is not None)
 
-    def local_step(state: TrainState, camera, gt_image, gt_mask, gt_depth,
-                   bg, xyz_lr, lambda_opacity):
-        model = state.model
+    def grads(model, camera, gt_image, gt_mask, gt_depth, bg,
+              lambda_opacity):
         n_loc = model.params.xyz.shape[0]
         dummies0 = (jnp.zeros((n_loc, 2)), jnp.zeros((n_loc, 2)))
 
