@@ -156,6 +156,7 @@ def main():
     # Emit the perf line immediately: the driver parses the output tail, so
     # if the auxiliary quality phase below is cut off by a timeout, a valid
     # result line is still on record (the post-quality line supersedes it).
+    _EMITTED.update(result)
     print(json.dumps(result), flush=True)
     try:
         result.update(quality_metric())
@@ -220,19 +221,28 @@ def quality_metric():
     }
 
 
+# Last successfully-emitted perf result; the crash handler re-emits it so a
+# late interrupt (e.g. SIGTERM during the quality phase) never overwrites a
+# real measurement with value=0.0 — the driver parses the output TAIL.
+_EMITTED = {}
+
+
 if __name__ == "__main__":
     try:
         main()
     except BaseException as e:
         # A compile/runtime failure before the perf line would otherwise
         # leave the driver with NOTHING to parse (the tunnel watchdog only
-        # covers a silent hang).  Emit an explicit failure line and re-raise
-        # so the traceback still reaches the log.
-        print(json.dumps({
+        # covers a silent hang).  Emit an explicit failure line — carrying
+        # the already-measured value if the perf phase completed — and
+        # re-raise so the traceback still reaches the log.
+        line = {
             "metric": "stage1_train_iters_per_sec_512px_100k",
             "value": 0.0,
             "unit": "iters/sec",
             "vs_baseline": 0.0,
-            "error": f"bench_exception: {type(e).__name__}: {e}"[:500],
-        }), flush=True)
+        }
+        line.update(_EMITTED)
+        line["error"] = f"bench_exception: {type(e).__name__}: {e}"[:500]
+        print(json.dumps(line), flush=True)
         raise

@@ -144,24 +144,23 @@ def sharded_render_merge(
 
 def _build_gauss_grads_fn(
     opt_cfg,
-    template_state: TrainState,
+    has_appearance: bool,
     kernel_size: float,
     use_depth: bool,
     axis: str,
     num_bins: int,
     bin_capacity=None,
 ):
-    """Per-view loss + gradients on a gaussian shard (the shared core of the
-    splat-sharded step and the 2D view x gauss grid step).
+    """Per-view loss + gradients on a gaussian shard — the sharded
+    counterpart of :func:`skyfall_gs_tpu.train.step._build_grads_fn`
+    (same return contract, minus the pseudo-view arm).
 
     Runs inside shard_map; all collectives are over ``axis`` (the gaussian
     axis).  Returns ``grads(model, camera, gt_image, gt_mask, gt_depth, bg,
     lambda_opacity) -> (loss, aux_out, gparams, gdummies)`` where gparams'
-    replicated appearance leaves are already psum'd over the shards.
+    replicated appearance leaves are already psum'd over the shards (so a
+    subsequent Adam update stays bitwise identical across shards).
     """
-    has_appearance = (
-        template_state.model.params.appearance_embeddings is not None
-        and template_state.model.params.appearance_mlp is not None)
 
     def grads(model, camera, gt_image, gt_mask, gt_depth, bg,
               lambda_opacity):
@@ -221,19 +220,58 @@ def _build_gauss_grads_fn(
                            "psnr": psnr(image, gt),
                            "overflow": jax.lax.stop_gradient(overflow)}
 
-        (loss, aux_out), grads = jax.value_and_grad(
+        (loss, aux_out), g = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(model.params, dummies0)
-        gparams, gdummies = grads
+        gparams, gdummies = g
         if has_appearance:
             # Replicated appearance leaves: each shard's backward only sees
             # its own splats' contribution — sum for the true gradient (the
             # Adam update then stays bitwise identical across shards).
             gparams = gparams.replace(
                 appearance_mlp=jax.tree.map(
-                    lambda g: jax.lax.psum(g, axis), gparams.appearance_mlp),
+                    lambda v: jax.lax.psum(v, axis), gparams.appearance_mlp),
                 appearance_embeddings=jax.lax.psum(
                     gparams.appearance_embeddings, axis),
             )
+        return loss, aux_out, gparams, gdummies
+
+    return grads
+
+
+def make_gauss_sharded_train_step(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    kernel_size: float = 0.1,
+    use_depth: bool = True,
+    axis: str = "gauss",
+    bin_capacity=None,
+):
+    """Build the jitted splat-sharded train step.
+
+    The TrainState's per-splat leaves must be sharded along ``axis`` (use
+    :func:`shard_train_state`); camera/images are replicated.  The
+    appearance model rides along: per-splat Fourier ``embeddings`` shard
+    with the splats, the camera table + MLP replicate, and their gradients
+    are ``psum``-reduced across shards (each shard only sees its own
+    splats' contribution).
+
+    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
+    lambda_opacity) -> (state, StepMetrics).
+    """
+    num_bins = mesh.shape[axis]
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
+    grads_fn = _build_gauss_grads_fn(
+        opt_cfg, has_appearance, kernel_size, use_depth, axis, num_bins,
+        bin_capacity=bin_capacity)
+
+    def local_step(state: TrainState, camera, gt_image, gt_mask, gt_depth,
+                   bg, xyz_lr, lambda_opacity):
+        model = state.model
+        loss, aux_out, gparams, gdummies = grads_fn(
+            model, camera, gt_image, gt_mask, gt_depth, bg, lambda_opacity)
 
         new_aux = add_densification_stats(
             model.aux, gdummies[0], gdummies[1], aux_out["radii"],
