@@ -210,7 +210,82 @@ class IDUOrchestrator:
         idu_indices: List[int] = []
         pseudo_stack: List = []
 
-        for iteration in range(first_iter + 1, end_iter + 1):
+        def draw_tuple(j: int):
+            """One iteration's host-RNG draws: the IDU/original Bernoulli
+            flip and the view pick.  Shared by the fused and single paths so
+            both consume the py_rng stream identically (same invariant as
+            Trainer._pick_step)."""
+            use_idu = (
+                j + o.idu_iter_full_train <= end_iter
+                and t.py_rng.random() < o.idu_train_ratio
+            )
+            if use_idu:
+                if not idu_indices:
+                    idu_indices.extend(range(idu_group.size))
+                i = idu_indices.pop(t.py_rng.randrange(len(idu_indices)))
+                return (True, None, i)
+            g, i = t._pick_view()
+            return (False, g, i)
+
+        def pseudo_at(j: int) -> bool:
+            return (
+                o.lambda_pseudo_depth > 0
+                and self.depth_predictor is not None
+                and j % o.sample_pseudo_interval == 0
+            )
+
+        def post_event(j: int) -> bool:
+            # host work that must run right AFTER step j (densify, opacity
+            # reset, filter recompute, report)
+            if j < densify_until:
+                if (j > o.densify_from_iter
+                        and j % o.densification_interval == 0):
+                    return True
+                if (j % o.idu_opacity_reset_interval == 0
+                        and j < end_iter - 100):
+                    return True
+            elif j % 100 == 0 and j < end_iter - 100:
+                return True
+            return j % o.idu_testing_interval == 0 or j == end_iter
+
+        def multi_fn():
+            # Mixed-kind fused window: kinds are runtime inputs (see
+            # make_train_step.make_idu_multistep).  One signature covers
+            # every IDU/original interleaving.
+            key = ("idu_multi", t.bin_capacity)
+            if key not in step_cache:
+                from skyfall_gs_tpu.train.step import make_idu_multistep
+
+                lpips_fn = None
+                if o.use_lpips_loss:
+                    lpips_fn = t._get_lpips()._jitted
+                common = dict(
+                    kernel_size=cfg.kernel_size,
+                    backend=t.pipe_cfg.rasterizer_backend,
+                    ray_jitter=cfg.ray_jitter,
+                    resample_gt=cfg.resample_gt_image,
+                    bin_capacity=t.bin_capacity,
+                    lpips_fn=lpips_fn,
+                )
+                step_cache[key] = make_idu_multistep(
+                    o,
+                    idu_kwargs=dict(
+                        use_depth=o.lambda_depth > 0,
+                        photometric=o.idu_refine,
+                        testing_render=not o.idu_random_ap, **common),
+                    orig_kwargs=dict(
+                        use_depth=False, photometric=True, **common),
+                )
+            return step_cache[key]
+
+        # Dummy original-group for all-IDU windows: a stable pick keeps the
+        # jit signature unique per (orig image shape) rather than per window.
+        default_group = t.scene.train_groups[t.group_keys[0]]
+
+        fuse = max(int(t.pipe_cfg.fuse_steps), 1)
+        pending: List = []        # fully-drawn (use_idu, g, i) lookaheads
+        iteration = first_iter + 1
+        while iteration <= end_iter:
             if cooldown is not None:
                 if cooldown > 0:
                     cooldown -= 1
@@ -218,45 +293,103 @@ class IDUOrchestrator:
                     cooldown = None
                     lambda_opacity = o.lambda_opacity
 
-            use_idu = (
-                iteration + o.idu_iter_full_train <= end_iter
-                and t.py_rng.random() < o.idu_train_ratio
-            )
-            t.rng, krng = jax.random.split(t.rng)
-            xyz_lr = jnp.float32(xyz_sched(iteration - first_iter))
+            head = pending.pop() if pending else draw_tuple(iteration)
+            use_pseudo = pseudo_at(iteration)
 
-            # in-episode pseudo-view monodepth supervision (train.py:801-832)
-            pseudo_args = ()
-            use_pseudo = (
-                o.lambda_pseudo_depth > 0
-                and self.depth_predictor is not None
-                and iteration % o.sample_pseudo_interval == 0
-            )
-            if use_pseudo:
-                if not pseudo_stack:
-                    ele, rad = episode_pseudo_curriculum(iteration)
-                    pseudo_stack = t._gen_pseudo_stack_at(ele, rad)
-                pcam = pseudo_stack.pop(t.py_rng.randrange(len(pseudo_stack)))
-                pout = t._eval_render(state.model, pcam, t.bg)
-                pdepth = self.depth_predictor(
-                    np.asarray(jnp.clip(pout.color, 0, 1)))
-                pseudo_args = (pcam, jnp.asarray(pdepth), jnp.float32(1.0))
+            # Scan-fuse a full window of consecutive steps (mixed kinds OK —
+            # the kind is a runtime input) unless a host event interrupts:
+            # pseudo supervision, densify/reset boundaries, or an
+            # original-view group switch.  Only full windows fuse (every
+            # window length is its own 30-90 s remote compile signature).
+            window = [head]
+            if fuse > 1 and not use_pseudo:
+                orig_g = head[1]  # None while the window is all-IDU so far
+                while (len(window) < fuse
+                       and iteration + len(window) <= end_iter
+                       and not pseudo_at(iteration + len(window))
+                       and not post_event(iteration + len(window) - 1)):
+                    nxt = pending.pop() if pending else \
+                        draw_tuple(iteration + len(window))
+                    if nxt[1] is not None:
+                        if orig_g is None:
+                            orig_g = nxt[1]
+                        elif nxt[1] is not orig_g:
+                            pending.append(nxt)
+                            break
+                    window.append(nxt)
+                if len(window) < fuse:
+                    for tup in reversed(window[1:]):
+                        pending.append(tup)
+                    window = [head]
 
-            if use_idu:
-                if not idu_indices:
-                    idu_indices = list(range(idu_group.size))
-                i = idu_indices.pop(t.py_rng.randrange(len(idu_indices)))
-                cam, image, mask, depth = idu_group.select(i)
-                state, metrics = idu_step_fn(use_pseudo)(
-                    state, cam, image, mask, depth, t.bg, krng,
-                    xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
+            if len(window) > 1:
+                w = len(window)
+                ks, lrs, lams = [], [], []
+                for k in range(w):
+                    if k > 0:
+                        if cooldown is not None:
+                            if cooldown > 0:
+                                cooldown -= 1
+                            else:
+                                cooldown = None
+                                lambda_opacity = o.lambda_opacity
+                    t.rng, krng = jax.random.split(t.rng)
+                    ks.append(krng)
+                    lrs.append(xyz_sched(iteration + k - first_iter))
+                    lams.append(lambda_opacity)
+                g = next((tup[1] for tup in window if tup[1] is not None),
+                         default_group)
+                kinds = jnp.asarray([1 if tup[0] else 0 for tup in window],
+                                    jnp.int32)
+                idu_idxs = jnp.asarray(
+                    [tup[2] if tup[0] else 0 for tup in window], jnp.int32)
+                orig_idxs = jnp.asarray(
+                    [0 if tup[0] else tup[2] for tup in window], jnp.int32)
+                state, mstack = multi_fn()(
+                    state, idu_group.cameras, idu_group.images,
+                    idu_group.masks, idu_group.depths,
+                    g.cameras, g.images, g.masks, g.depths,
+                    kinds, idu_idxs, orig_idxs, t.bg, jnp.stack(ks),
+                    jnp.asarray(lrs, jnp.float32),
+                    jnp.asarray(lams, jnp.float32))
+                if t.logger:
+                    for k in range(w):
+                        t.logger.log_step(
+                            iteration + k,
+                            jax.tree.map(lambda x, k=k: x[k], mstack), 0.0)
+                metrics = jax.tree.map(lambda x: x[w - 1], mstack)
+                iteration += w - 1  # post-step processing runs for the last
             else:
-                g, i = t._pick_view()
-                cam, image, mask, depth = g.select(i)
-                step_fn = t._get_step_fn(False, use_pseudo)  # photometric only
-                state, metrics = step_fn(
-                    state, cam, image, mask, depth, t.bg, krng,
-                    xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
+                use_idu, g, i = head
+                t.rng, krng = jax.random.split(t.rng)
+                xyz_lr = jnp.float32(xyz_sched(iteration - first_iter))
+
+                # in-episode pseudo-view monodepth supervision
+                # (train.py:801-832)
+                pseudo_args = ()
+                if use_pseudo:
+                    if not pseudo_stack:
+                        ele, rad = episode_pseudo_curriculum(iteration)
+                        pseudo_stack = t._gen_pseudo_stack_at(ele, rad)
+                    pcam = pseudo_stack.pop(
+                        t.py_rng.randrange(len(pseudo_stack)))
+                    pout = t._eval_render(state.model, pcam, t.bg)
+                    pdepth = self.depth_predictor(
+                        np.asarray(jnp.clip(pout.color, 0, 1)))
+                    pseudo_args = (pcam, jnp.asarray(pdepth),
+                                   jnp.float32(1.0))
+
+                if use_idu:
+                    cam, image, mask, depth = idu_group.select(i)
+                    state, metrics = idu_step_fn(use_pseudo)(
+                        state, cam, image, mask, depth, t.bg, krng,
+                        xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
+                else:
+                    cam, image, mask, depth = g.select(i)
+                    step_fn = t._get_step_fn(False, use_pseudo)  # photo only
+                    state, metrics = step_fn(
+                        state, cam, image, mask, depth, t.bg, krng,
+                        xyz_lr, jnp.float32(lambda_opacity), *pseudo_args)
 
             # densification / opacity reset
             if iteration < densify_until:
@@ -265,8 +398,6 @@ class IDUOrchestrator:
                     state = t._densify(state)
                 if (iteration % o.idu_opacity_reset_interval == 0
                         and iteration < end_iter - 100):
-                    from skyfall_gs_tpu.model.gaussians import reset_opacity
-
                     new_op = t._reset_opacity_fn(
                         state.model.params, state.model.aux.filter_3d)
                     state = state.replace(model=state.model.replace(
@@ -278,10 +409,11 @@ class IDUOrchestrator:
                     aux=state.model.aux.replace(
                         filter_3d=t._compute_filter(state))))
 
-            if t.logger:
+            if len(window) == 1 and t.logger:
                 t.logger.log_step(iteration, metrics, 0.0)
             if iteration % o.idu_testing_interval == 0 or iteration == end_iter:
                 t._report(state, iteration)
+            iteration += 1
 
         ckpt = os.path.join(cfg.model_path, f"chkpnt{end_iter}.npz")
         save_checkpoint(ckpt, state, end_iter)

@@ -295,6 +295,67 @@ def make_train_multistep(*args, **kwargs):
     return jax.jit(multi)
 
 
+def make_idu_multistep(opt_cfg, idu_kwargs: dict, orig_kwargs: dict):
+    """Jitted scan-fused window of MIXED IDU/original episode steps.
+
+    The Stage-2 episode loop (reference train.py:725-798) flips a Bernoulli
+    coin per iteration between an IDU view (photometric only when
+    ``idu_refine``, + depth Pearson vs the refined-image monodepth) and an
+    original view (photometric only).  At idu_train_ratio=0.5 same-kind
+    runs are geometric with mean 2, so same-kind window fusion never fires;
+    instead the KIND is a per-step runtime input and the scan body
+    ``lax.cond``s between the two step bodies.  Both bodies compile once
+    into the same signature; each runtime step executes only its branch, so
+    the per-dispatch overhead (~1.4 ms through the tunnel) amortizes over
+    the window no matter how the kinds interleave.
+
+    ``idu_kwargs`` / ``orig_kwargs`` are the :func:`_build_step_fn` kwargs
+    of the two variants (they differ in photometric/use_depth/
+    testing_render).  Pseudo-view steps cannot be fused (host render +
+    depth-predictor round trip) — the episode loop breaks windows there.
+
+    Signature:
+        multi(state,
+              idu_cameras (M1-stacked pytree), idu_images (M1,H1,W1,3),
+              idu_masks (M1,H1,W1), idu_depths (M1,H1,W1),
+              orig_cameras (M2-stacked), orig_images (M2,H2,W2,3),
+              orig_masks, orig_depths,
+              kinds (K,) int32 (1 = IDU view, 0 = original view),
+              idu_idxs (K,), orig_idxs (K,) int32 (dummy 0 where unused),
+              bg (3,), rngs (K,2), xyz_lrs (K,), lambda_opacities (K,))
+            -> (state, StepMetrics with (K,)-leaves)
+    """
+    if idu_kwargs.get("use_pseudo") or orig_kwargs.get("use_pseudo"):
+        raise ValueError("pseudo-view steps cannot be scan-fused")
+    idu_step = _build_step_fn(opt_cfg, **idu_kwargs)
+    orig_step = _build_step_fn(opt_cfg, **orig_kwargs)
+
+    def multi(state, idu_cameras, idu_images, idu_masks, idu_depths,
+              orig_cameras, orig_images, orig_masks, orig_depths,
+              kinds, idu_idxs, orig_idxs, bg, rngs, xyz_lrs,
+              lambda_opacities):
+        def body(st, xs):
+            kind, ii, oi, key, lr, lam = xs
+
+            def run_idu(st):
+                cam = jax.tree.map(lambda x: x[ii], idu_cameras)
+                return idu_step(st, cam, idu_images[ii], idu_masks[ii],
+                                idu_depths[ii], bg, key, lr, lam)
+
+            def run_orig(st):
+                cam = jax.tree.map(lambda x: x[oi], orig_cameras)
+                return orig_step(st, cam, orig_images[oi], orig_masks[oi],
+                                 orig_depths[oi], bg, key, lr, lam)
+
+            return jax.lax.cond(kind == 1, run_idu, run_orig, st)
+
+        return jax.lax.scan(
+            body, state,
+            (kinds, idu_idxs, orig_idxs, rngs, xyz_lrs, lambda_opacities))
+
+    return jax.jit(multi)
+
+
 def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled",
                      bin_capacity: Optional[int] = None):
     """Jitted no-grad render for test-time evaluation.

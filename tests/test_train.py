@@ -526,6 +526,66 @@ class TestGaussianSharded:
 
 
 @pytest.mark.slow
+class TestIDUFusedWindows:
+    def _run_episode(self, rng_seed, tmp_path, fuse, iters=18):
+        from skyfall_gs_tpu.priors import IdentityRefiner, RenderDepthPredictor
+        from skyfall_gs_tpu.train.idu import IDUOrchestrator
+
+        rng = np.random.default_rng(rng_seed)
+        scene = _synthetic_scene(rng)
+        model_cfg = ModelConfig(model_path=str(tmp_path))
+        opt_cfg = OptimizationConfig(
+            iterations=iters,
+            idu_episode_iterations=iters,
+            idu_densify_until_iter=12,
+            densify_from_iter=2,
+            densification_interval=6,
+            idu_opacity_reset_interval=9,
+            opacity_cooldown_iterations=3,
+            idu_testing_interval=10 ** 9,
+            idu_num_cams=2, idu_num_samples_per_view=1,
+            idu_render_size=32, idu_train_ratio=0.5,
+            lambda_depth=0.5, lambda_opacity=0.01,
+            lambda_pseudo_depth=0.5, sample_pseudo_interval=7,
+            idu_refine=False, idu_position_lr_max_steps=iters,
+        )
+        trainer = Trainer(model_cfg, opt_cfg,
+                          PipelineConfig(fuse_steps=fuse), scene)
+
+        def small_stack(ele, rad):
+            from skyfall_gs_tpu.core.camera import orbit_cameras
+
+            return orbit_cameras([0, 0, 0], ele, 3.0, num_cams=4,
+                                 width=32, height=32, fov_deg=60.0,
+                                 uids=[0] * 4)
+        trainer._gen_pseudo_stack_at = small_stack
+        state = trainer.init_state()
+        orch = IDUOrchestrator(trainer=trainer, refiner=IdentityRefiner(),
+                               depth_predictor=RenderDepthPredictor())
+        return orch.train_episode(state, 0, [[0.0, 0.0, 0.0]],
+                                  60.0, 3.0, 60.0)
+
+    def test_fused_matches_single_step_episode(self, tmp_path):
+        """The mixed-kind fused episode window (make_idu_multistep: kind is
+        a runtime input, lax.cond between IDU/original step bodies) must not
+        change the episode trajectory: same seeds -> same per-iteration
+        draws (the shared draw_tuple routine) -> same final parameters.
+        Densify at 6/12, opacity reset at 9, pseudo steps at 7/14 and the
+        Bernoulli kind mixing all exercise window breaks + pushbacks."""
+        s1 = self._run_episode(7, tmp_path / "a", fuse=1)
+        sf = self._run_episode(7, tmp_path / "b", fuse=4)
+        np.testing.assert_allclose(np.asarray(sf.model.params.xyz),
+                                   np.asarray(s1.model.params.xyz),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sf.model.params.opacity),
+                                   np.asarray(s1.model.params.opacity),
+                                   atol=1e-5)
+        assert int(sf.step) == int(s1.step) == 18
+        assert (np.asarray(sf.model.aux.alive).sum()
+                == np.asarray(s1.model.aux.alive).sum())
+
+
+@pytest.mark.slow
 class TestPseudoDepth:
     def test_stage1_pseudo_supervision_path(self, rng, tmp_path):
         """Pseudo-view monodepth supervision runs through the jitted step."""
