@@ -311,6 +311,71 @@ def make_gauss_sharded_train_step(
     return jax.jit(sharded)
 
 
+def make_grid_train_step(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    kernel_size: float = 0.1,
+    use_depth: bool = True,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+    bin_capacity=None,
+):
+    """Build the jitted 2D view x gauss grid train step: both scaling axes
+    at once over a ``Mesh((B, G), (data_axis, gauss_axis))``.
+
+    Device (d, g) holds splat shard g (capacity/G rows of params, Adam
+    moments, densification stats — replicated across the data rows) and
+    processes view d.  Within each data row the render runs the
+    depth-binned exact compositing over ``gauss_axis`` (sharded_render_merge);
+    across rows the B per-view gradients ``pmean`` and densification
+    statistics psum/pmax exactly as the 1D view-parallel step
+    (parallel/sharding._combine_and_update) — so a (B, G) grid reproduces
+    the B-view batched trajectory of a G-way sharded model.
+
+    Signature: step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
+    depths (B,H,W), bg (3,), xyz_lr, lambda_opacity) -> (state, StepMetrics)
+    where B == mesh.shape[data_axis].
+    """
+    from skyfall_gs_tpu.parallel.sharding import _combine_and_update
+
+    num_bins = mesh.shape[gauss_axis]
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
+    grads_fn = _build_gauss_grads_fn(
+        opt_cfg, has_appearance, kernel_size, use_depth, gauss_axis,
+        num_bins, bin_capacity=bin_capacity)
+
+    def local_step(state: TrainState, cam_b, image_b, mask_b, depth_b, bg,
+                   xyz_lr, lambda_opacity):
+        camera = jax.tree.map(lambda x: x[0], cam_b)
+        loss, aux_out, gparams, gdummies = grads_fn(
+            state.model, camera, image_b[0], mask_b[0], depth_b[0], bg,
+            lambda_opacity)
+        new_state, metrics = _combine_and_update(
+            state, loss, aux_out, gparams, gdummies,
+            camera.width, camera.height, opt_cfg, xyz_lr, data_axis)
+        # n_alive from _combine_and_update counts only the local shard.
+        return new_state, metrics._replace(
+            n_alive=jax.lax.psum(metrics.n_alive, gauss_axis))
+
+    capacity = template_state.model.params.capacity
+    state_spec = jax.tree_util.tree_map_with_path(
+        lambda p, x: (P(gauss_axis) if _is_splat_leaf(p, x, capacity)
+                      else P()),
+        template_state)
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, P(data_axis), P(data_axis), P(data_axis),
+                  P(data_axis), P(), P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 # Leaves that replicate no matter their shape: the appearance camera table
 # is camera-indexed and the MLP is global, so a scene where num_cameras (or
 # a layer width) happens to equal the splat capacity must not shard them.

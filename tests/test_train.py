@@ -525,6 +525,73 @@ class TestGaussianSharded:
         assert tsS.opt.mu.xyz.addressable_shards[0].data.shape == (16, 3)
 
 
+class TestGridSharded:
+    def test_grid_matches_view_parallel(self, rng):
+        """The 2D view x gauss grid step ((B, G) mesh: splat state sharded
+        G-way, B views per step) reproduces the 1D view-parallel step's
+        batched trajectory — the composed generalization of the two 1D
+        axes (SURVEY.md §2.4)."""
+        from jax.sharding import Mesh
+        from skyfall_gs_tpu.model.gaussians import create_from_points
+        from skyfall_gs_tpu.parallel.gauss_shard import (
+            make_grid_train_step,
+            shard_train_state,
+        )
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+        from skyfall_gs_tpu.parallel.sharding import make_parallel_train_step
+        from skyfall_gs_tpu.train.step import init_train_state
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_test_camera
+
+        devs = jax.devices("cpu")
+        if len(devs) < 8:
+            pytest.skip("needs >= 8 cpu devices")
+        B, G = 2, 4
+        grid_mesh = Mesh(np.array(devs[:8]).reshape(B, G),
+                         ("data", "gauss"))
+
+        pts = rng.normal(0, 0.8, (48, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (48, 3)).astype(np.float32)
+        st = create_from_points(pts, cols, capacity=64)
+        st = st.replace(active_sh_degree=1,
+                        aux=st.aux.replace(filter_3d=jnp.full(64, 0.05)))
+        ts = init_train_state(st)
+
+        cams = [make_test_camera(32, 32),
+                make_test_camera(32, 32, eye=(-2.0, 2.0, 1.5))]
+        cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        gt = jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 3)), jnp.float32)
+        mask = jnp.ones((B, 32, 32))
+        depth = jnp.asarray(rng.uniform(1, 5, (B, 32, 32)), jnp.float32)
+        bg = jnp.zeros(3)
+        from skyfall_gs_tpu.config import OptimizationConfig
+
+        cfg = OptimizationConfig()
+        # 1D view-parallel reference (replicated splat state)
+        vmesh = make_mesh(B)
+        vstep = make_parallel_train_step(vmesh, cfg, use_depth=True)
+        ts1, m1 = vstep(ts, cam_b, gt, mask, depth, bg,
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        gstep = make_grid_train_step(grid_mesh, cfg, ts, use_depth=True)
+        tsS = shard_train_state(ts, grid_mesh, "gauss")
+        tsG, mG = gstep(tsS, cam_b, gt, mask, depth, bg,
+                        jnp.float32(1e-3), jnp.float32(0.1))
+
+        assert abs(float(mG.loss) - float(m1.loss)) < 2e-3
+        assert int(mG.n_alive) == int(m1.n_alive) == 48
+        u1 = np.asarray(ts1.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        uG = np.asarray(tsG.model.params.xyz) - np.asarray(ts.model.params.xyz)
+        active = np.abs(u1) > 0
+        agree = np.sign(u1[active]) == np.sign(uG[active])
+        assert agree.mean() > 0.9
+        # densification stats accumulated over both axes
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(tsG.model.aux.denom)),
+            np.asarray(jnp.sum(ts1.model.aux.denom)), rtol=0.1)
+
+
 @pytest.mark.slow
 class TestIDUFusedWindows:
     def _run_episode(self, rng_seed, tmp_path, fuse, iters=18):
