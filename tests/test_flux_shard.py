@@ -133,6 +133,7 @@ class TestParamAccounting:
             np.asarray(params["single"][1]["out"]["w"][:d]))
 
 
+@pytest.mark.slow
 class TestShardedFlowEdit:
     def test_refiner_with_sharded_velocity(self, mesh, rng):
         """End-to-end: FlowEditRefiner driving the tensor-parallel field."""

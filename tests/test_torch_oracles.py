@@ -58,6 +58,9 @@ def _sd_np(module):
 # T5 encoder vs transformers.T5EncoderModel
 # ----------------------------------------------------------------------------
 
+
+pytestmark = pytest.mark.slow  # heavy torch-oracle parity tier
+
 class TestT5Oracle:
     @pytest.fixture(scope="class")
     def models(self):

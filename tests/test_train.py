@@ -340,6 +340,7 @@ class TestTileParallel:
         assert float(jnp.mean(jnp.abs(img - full.color))) < 5e-3
 
 
+@pytest.mark.slow
 class TestGaussianSharded:
     def test_matches_single_device_step(self, rng, tmp_path):
         """Splat-sharded step == single-device step (up to the 1e-4
@@ -525,6 +526,7 @@ class TestGaussianSharded:
         assert tsS.opt.mu.xyz.addressable_shards[0].data.shape == (16, 3)
 
 
+@pytest.mark.slow
 class TestGridSharded:
     def test_grid_matches_view_parallel(self, rng):
         """The 2D view x gauss grid step ((B, G) mesh: splat state sharded
