@@ -100,16 +100,34 @@ def main(argv=None) -> None:
         gui = NetworkGUI(args.gui_ip, args.gui_port)
 
     mesh = None
+    mesh_mode = "view"
+    if pipe_cfg.data_parallel and pipe_cfg.shard_gaussians:
+        raise SystemExit("--data_parallel and --shard_gaussians are "
+                         "mutually exclusive (use parallel.gauss_shard."
+                         "make_grid_train_step for the 2D grid)")
     if pipe_cfg.data_parallel:
         from skyfall_gs_tpu.parallel.mesh import make_mesh
 
         n = pipe_cfg.data_parallel
         mesh = make_mesh(None if n < 0 else n)
         print(f"view-parallel training over {mesh.shape['data']} devices")
+    elif pipe_cfg.shard_gaussians:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        n = pipe_cfg.shard_gaussians
+        devs = jax.devices()
+        if n > 0:
+            devs = devs[:n]
+        mesh = Mesh(np.array(devs), ("gauss",))
+        mesh_mode = "gauss"
+        print(f"gaussian-sharded training over {len(devs)} devices")
 
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene,
                       depth_predictor=depth_pred, rng_seed=args.seed,
-                      gui=gui, profile_dir=args.profile_dir, mesh=mesh)
+                      gui=gui, profile_dir=args.profile_dir, mesh=mesh,
+                      mesh_mode=mesh_mode)
 
     if args.iterative_datasets_update:
         if not args.start_checkpoint:

@@ -91,6 +91,12 @@ class PipelineConfig:
     # parallel/sharding.py and the Trainer docstring for the batch-scaling
     # semantics).  0 = off, -1 = all local devices, N = exactly N devices.
     data_parallel: int = 0
+    # Gaussian (splat-state) sharding: params + Adam moments + densify
+    # stats live 1/G per device over a G-device mesh — HBM scaling for
+    # scenes larger than one chip (depth-binned exact compositing,
+    # densification included; see parallel/gauss_shard.py).  Mutually
+    # exclusive with data_parallel.  0 = off, -1 = all local devices.
+    shard_gaussians: int = 0
 
 
 @dataclass

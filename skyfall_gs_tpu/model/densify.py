@@ -107,20 +107,40 @@ def densify_and_prune(
     extent: float,
     max_screen_size: float,
     percent_dense: float,
+    axis: str | None = None,
 ) -> tuple[GaussianParams, GaussianAux, AdamState, DensifyStats]:
-    """One clone/split/prune pass.  Pure, jittable, shape-preserving."""
+    """One clone/split/prune pass.  Pure, jittable, shape-preserving.
+
+    With ``axis`` set (inside shard_map over a gaussian-sharded state), the
+    two GLOBAL quantities — the >=max_grad ratio and the AbsGS quantile
+    threshold — are computed with collectives (psum + one all_gather of the
+    per-splat abs-grad stat, ~4 MB/M splats every ~100 iters); selection,
+    slot allocation, clone/split writes, pruning and the Adam-moment
+    surgery all stay shard-local (children land in the parent's shard's
+    dead region).  Reported stats are psum'd.  Identical semantics to the
+    unsharded pass up to which dead slots children occupy.
+    """
     cap = params.capacity
     alive = aux.alive
     denom_ok = aux.denom > 0
     grads = jnp.where(denom_ok & alive, aux.grad_accum / jnp.maximum(aux.denom, 1), 0.0)
     grads_abs = jnp.where(denom_ok & alive, aux.grad_accum_abs / jnp.maximum(aux.denom, 1), 0.0)
 
-    n_alive0 = jnp.sum(alive)
-    ratio = jnp.sum((grads >= max_grad) & alive) / jnp.maximum(n_alive0, 1)
-    q_thresh = _masked_quantile(grads_abs, alive, 1.0 - ratio)
-    # Degenerate guard: with no accumulated stats Q would be 0 and >= Q
-    # would select everything; disable abs-based selection instead.
-    q_thresh = jnp.where(jnp.sum(grads_abs) > 0.0, q_thresh, jnp.inf)
+    if axis is None:
+        n_alive0 = jnp.sum(alive)
+        ratio = jnp.sum((grads >= max_grad) & alive) / jnp.maximum(n_alive0, 1)
+        q_thresh = _masked_quantile(grads_abs, alive, 1.0 - ratio)
+        # Degenerate guard: with no accumulated stats Q would be 0 and >= Q
+        # would select everything; disable abs-based selection instead.
+        q_thresh = jnp.where(jnp.sum(grads_abs) > 0.0, q_thresh, jnp.inf)
+    else:
+        n_alive0 = jax.lax.psum(jnp.sum(alive), axis)
+        ratio = jax.lax.psum(jnp.sum((grads >= max_grad) & alive),
+                             axis) / jnp.maximum(n_alive0, 1)
+        g_abs = jax.lax.all_gather(grads_abs, axis).reshape(-1)
+        g_alive = jax.lax.all_gather(alive, axis).reshape(-1)
+        q_thresh = _masked_quantile(g_abs, g_alive, 1.0 - ratio)
+        q_thresh = jnp.where(jnp.sum(g_abs) > 0.0, q_thresh, jnp.inf)
 
     scaling = get_scaling(params)
     scale_max = jnp.max(scaling, axis=1)
@@ -249,6 +269,8 @@ def densify_and_prune(
         n_dropped=n_dropped,
         n_alive=jnp.sum(new_alive),
     )
+    if axis is not None:
+        stats = jax.tree.map(lambda x: jax.lax.psum(x, axis), stats)
     return new_params, new_aux, new_opt, stats
 
 

@@ -238,31 +238,18 @@ def _build_gauss_grads_fn(
     return grads
 
 
-def make_gauss_sharded_train_step(
-    mesh: Mesh,
+def _build_gauss_local_step(
     opt_cfg,
-    template_state: TrainState,
-    kernel_size: float = 0.1,
-    use_depth: bool = True,
-    axis: str = "gauss",
+    has_appearance: bool,
+    kernel_size: float,
+    use_depth: bool,
+    axis: str,
+    num_bins: int,
     bin_capacity=None,
 ):
-    """Build the jitted splat-sharded train step.
-
-    The TrainState's per-splat leaves must be sharded along ``axis`` (use
-    :func:`shard_train_state`); camera/images are replicated.  The
-    appearance model rides along: per-splat Fourier ``embeddings`` shard
-    with the splats, the camera table + MLP replicate, and their gradients
-    are ``psum``-reduced across shards (each shard only sees its own
-    splats' contribution).
-
-    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
-    lambda_opacity) -> (state, StepMetrics).
-    """
-    num_bins = mesh.shape[axis]
-    has_appearance = (
-        template_state.model.params.appearance_embeddings is not None
-        and template_state.model.params.appearance_mlp is not None)
+    """The per-shard step body (grads -> densify stats -> Adam), to be
+    wrapped in shard_map directly (single step) or inside a lax.scan window
+    (multistep)."""
     grads_fn = _build_gauss_grads_fn(
         opt_cfg, has_appearance, kernel_size, use_depth, axis, num_bins,
         bin_capacity=bin_capacity)
@@ -294,13 +281,47 @@ def make_gauss_sharded_train_step(
         )
         return new_state, metrics
 
-    # Per-splat leaves (leading dim == capacity) shard on the axis; the
-    # appearance camera table / MLP and 0-D leaves (step, Adam count)
-    # replicate.
+    return local_step
+
+
+def _gauss_state_spec(template_state: TrainState, axis: str):
+    """Per-splat leaves (leading dim == capacity) shard on the axis; the
+    appearance camera table / MLP and 0-D leaves (step, Adam count)
+    replicate."""
     capacity = template_state.model.params.capacity
-    state_spec = jax.tree_util.tree_map_with_path(
+    return jax.tree_util.tree_map_with_path(
         lambda p, x: P(axis) if _is_splat_leaf(p, x, capacity) else P(),
         template_state)
+
+
+def make_gauss_sharded_train_step(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    kernel_size: float = 0.1,
+    use_depth: bool = True,
+    axis: str = "gauss",
+    bin_capacity=None,
+):
+    """Build the jitted splat-sharded train step.
+
+    The TrainState's per-splat leaves must be sharded along ``axis`` (use
+    :func:`shard_train_state`); camera/images are replicated.  The
+    appearance model rides along: per-splat Fourier ``embeddings`` shard
+    with the splats, the camera table + MLP replicate, and their gradients
+    are ``psum``-reduced across shards (each shard only sees its own
+    splats' contribution).
+
+    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
+    lambda_opacity) -> (state, StepMetrics).
+    """
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
+    local_step = _build_gauss_local_step(
+        opt_cfg, has_appearance, kernel_size, use_depth, axis,
+        mesh.shape[axis], bin_capacity=bin_capacity)
+    state_spec = _gauss_state_spec(template_state, axis)
 
     sharded = shard_map(
         local_step, mesh=mesh,
@@ -309,6 +330,135 @@ def make_gauss_sharded_train_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_gauss_sharded_multistep(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    kernel_size: float = 0.1,
+    use_depth: bool = True,
+    axis: str = "gauss",
+    bin_capacity=None,
+):
+    """Scan-fused window of K consecutive splat-sharded steps in ONE
+    dispatch — the gaussian-sharded counterpart of
+    train.step.make_train_multistep (same windowing contract: the Trainer
+    sizes windows so no host event falls inside one).
+
+    Signature:
+        multi(state, group_cameras (M-stacked pytree), group_images
+              (M,H,W,3), group_masks (M,H,W), group_depths (M,H,W),
+              idxs (K,) int32 view picks, bg (3,), xyz_lrs (K,),
+              lambda_opacities (K,))
+            -> (state, StepMetrics with (K,)-leaves)
+    """
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
+    local_step = _build_gauss_local_step(
+        opt_cfg, has_appearance, kernel_size, use_depth, axis,
+        mesh.shape[axis], bin_capacity=bin_capacity)
+    state_spec = _gauss_state_spec(template_state, axis)
+
+    def local_multi(state, cameras, images, masks, depths, idxs, bg,
+                    xyz_lrs, lambda_opacities):
+        def body(st, xs):
+            i, lr, lam = xs
+            cam = jax.tree.map(lambda x: x[i], cameras)
+            return local_step(st, cam, images[i], masks[i], depths[i], bg,
+                              lr, lam)
+
+        return jax.lax.scan(body, state, (idxs, xyz_lrs, lambda_opacities))
+
+    sharded = shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_densify(mesh: Mesh, template_state: TrainState,
+                         axis: str = "gauss", **static_kwargs):
+    """Jitted clone/split/prune pass over a gaussian-sharded state.
+
+    Wraps model.densify.densify_and_prune in shard_map: the >=threshold
+    ratio and the AbsGS quantile are computed globally with collectives,
+    selection/writes/pruning stay shard-local (children land in the
+    parent's shard's dead region — see densify_and_prune's ``axis`` doc).
+    The rng is folded with the shard index so split-children noise is
+    i.i.d. across shards.
+
+    Signature: densify(state, rng) -> (state, DensifyStats [psum'd]).
+    """
+    from skyfall_gs_tpu.model.densify import densify_and_prune
+
+    state_spec = _gauss_state_spec(template_state, axis)
+
+    def local(state: TrainState, rng):
+        k = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        params, aux, opt, stats = densify_and_prune(
+            state.model.params, state.model.aux, state.opt, k,
+            axis=axis, **static_kwargs)
+        new_state = state.replace(
+            model=state.model.replace(params=params, aux=aux), opt=opt)
+        return new_state, stats
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(state_spec, P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_grow_capacity(state: TrainState, mesh: Mesh, new_capacity: int,
+                          axis: str = "gauss") -> TrainState:
+    """Grow a gaussian-sharded TrainState's capacity with the pad slots
+    distributed EVENLY across shards (a plain global pad-at-end would give
+    the last shard all the free slots, starving the other shards'
+    shard-local densify allocation).
+
+    Runs model.densify.grow_capacity per shard under shard_map (row order
+    is a semantic no-op — splats are an unordered set).  ``new_capacity``
+    is the GLOBAL capacity; must be a multiple of the mesh axis size.
+    """
+    from skyfall_gs_tpu.model.densify import grow_capacity
+
+    n_shards = mesh.shape[axis]
+    if new_capacity % n_shards:
+        raise ValueError(f"new_capacity {new_capacity} not divisible by "
+                         f"{n_shards} shards")
+    local_new = new_capacity // n_shards
+    old_spec = _gauss_state_spec(state, axis)
+
+    def local(st: TrainState):
+        model, opt = grow_capacity(st.model, st.opt, local_new)
+        return st.replace(model=model, opt=opt)
+
+    # Output spec: same sharding decisions, evaluated on a template with
+    # the grown shapes (host-side zeros suffice — only shapes matter).
+    import numpy as _np
+
+    def grown_leaf(x, spec):
+        if spec == P(axis):
+            shape = (new_capacity,) + x.shape[1:]
+            return _np.zeros(shape, x.dtype)
+        return x
+
+    template = jax.tree.map(grown_leaf, state, old_spec)
+    new_spec = _gauss_state_spec(template, axis)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(old_spec,),
+        out_specs=new_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(state)
 
 
 def make_grid_train_step(

@@ -86,6 +86,12 @@ class Trainer:
     profile_steps: int = 20
     mesh: Optional[object] = None                # jax.sharding.Mesh (1 axis)
     mesh_axis: str = "data"
+    # "view": B views/step, replicated state (data parallelism).
+    # "gauss": 1 view/step, splat state + Adam moments + densify stats
+    #          sharded 1/B per device (HBM scaling; depth-binned exact
+    #          compositing) — densification included (sharded quantile +
+    #          shard-local clone/split/prune, even-pad capacity growth).
+    mesh_mode: str = "view"
 
     def __post_init__(self):
         cfg = self.model_cfg
@@ -114,9 +120,17 @@ class Trainer:
         self.filter_cams = camera_filter_arrays(
             [v.camera for v in self.scene.train_views]
         )
+        if self.mesh is not None and self.mesh_mode == "gauss":
+            self.mesh_axis = "gauss" if "gauss" in self.mesh.axis_names \
+                else self.mesh_axis
+            if self.model_cfg.ray_jitter:
+                raise NotImplementedError(
+                    "ray_jitter is not supported under gaussian sharding "
+                    "(the sharded step has no per-step rng)")
+        self._view_mesh = self.mesh is not None and self.mesh_mode == "view"
+        self._gauss_mesh = self.mesh is not None and self.mesh_mode == "gauss"
         self._mesh_B = (
-            int(self.mesh.shape[self.mesh_axis]) if self.mesh is not None
-            else 0)
+            int(self.mesh.shape[self.mesh_axis]) if self._view_mesh else 0)
 
         groups = self.scene.train_groups
         self.group_keys = list(groups.keys())
@@ -164,6 +178,18 @@ class Trainer:
                     filter_3d=self._compute_filter(state))
             )
         )
+        if self._gauss_mesh:
+            from skyfall_gs_tpu.parallel.gauss_shard import shard_train_state
+
+            n = int(self.mesh.shape[self.mesh_axis])
+            if state.model.params.capacity % n:
+                from skyfall_gs_tpu.model.densify import grow_capacity as _gc
+
+                cap = state.model.params.capacity
+                model, opt = _gc(state.model, state.opt,
+                                 -(-cap // n) * n)
+                state = state.replace(model=model, opt=opt)
+            state = shard_train_state(state, self.mesh, self.mesh_axis)
         return state
 
     def _compute_filter(self, state: TrainState):
@@ -173,6 +199,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _get_step_fn(self, use_depth: bool, use_pseudo: bool):
+        if self._gauss_mesh:
+            return self._get_gauss_step_fn(use_depth, use_pseudo)
         key = (use_depth, use_pseudo, self.bin_capacity)
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
@@ -180,7 +208,51 @@ class Trainer:
                 **self._step_kwargs(use_depth))
         return self._step_fns[key]
 
+    def _get_gauss_step_fn(self, use_depth: bool, use_pseudo: bool):
+        if use_pseudo:
+            raise NotImplementedError(
+                "pseudo-view depth supervision is not yet supported under "
+                "gaussian sharding (mesh_mode='gauss'); set "
+                "lambda_pseudo_depth=0 or pass no depth predictor")
+        key = ("gauss", use_depth, self.bin_capacity)
+        if key not in self._step_fns:
+            from skyfall_gs_tpu.parallel.gauss_shard import (
+                make_gauss_sharded_train_step,
+            )
+
+            kw = self._step_kwargs(use_depth)
+            step = make_gauss_sharded_train_step(
+                self.mesh, self.opt_cfg, self._gauss_template,
+                kernel_size=kw["kernel_size"], use_depth=use_depth,
+                axis=self.mesh_axis, bin_capacity=kw["bin_capacity"])
+            # Adapter: the sharded step takes no per-step rng (drop krng).
+            self._step_fns[key] = (
+                lambda st, cam, img, m, d, bg, krng, lr, lam, _s=step:
+                _s(st, cam, img, m, d, bg, lr, lam))
+        return self._step_fns[key]
+
+    def _get_gauss_multistep_fn(self, use_depth: bool):
+        key = ("gauss_multi", use_depth, self.bin_capacity)
+        if key not in self._step_fns:
+            from skyfall_gs_tpu.parallel.gauss_shard import (
+                make_gauss_sharded_multistep,
+            )
+
+            kw = self._step_kwargs(use_depth)
+            multi = make_gauss_sharded_multistep(
+                self.mesh, self.opt_cfg, self._gauss_template,
+                kernel_size=kw["kernel_size"], use_depth=use_depth,
+                axis=self.mesh_axis, bin_capacity=kw["bin_capacity"])
+            # Adapter: same window signature as make_train_multistep minus
+            # the per-step rngs (drop them).
+            self._step_fns[key] = (
+                lambda st, cams, imgs, ms, ds, idxs, bg, rngs, lrs, lams,
+                _m=multi: _m(st, cams, imgs, ms, ds, idxs, bg, lrs, lams))
+        return self._step_fns[key]
+
     def _get_multistep_fn(self, use_depth: bool):
+        if self._gauss_mesh:
+            return self._get_gauss_multistep_fn(use_depth)
         key = ("multi", use_depth, self.bin_capacity)
         if key not in self._step_fns:
             from skyfall_gs_tpu.train.step import make_train_multistep
@@ -210,7 +282,7 @@ class Trainer:
         pick time so fused and unfused loops consume the host RNG stream
         identically (rows, not leads, are pushed back by short windows)."""
         g, i = self._pick_view()
-        if self.mesh is None:
+        if not self._view_mesh:
             return g, i
         if isinstance(i, list):  # a pushed-back, fully-drawn row
             return g, i
@@ -362,6 +434,10 @@ class Trainer:
         cfg = self.model_cfg
         if state is None:
             state = self.init_state()
+        if self._gauss_mesh:
+            # Template for the shard_map leaf-spec decisions (which leaves
+            # are per-splat + has_appearance); stable across capacity growth.
+            self._gauss_template = state
         iterations = iterations or o.iterations
 
         xyz_sched = expon_lr_schedule(
@@ -472,7 +548,7 @@ class Trainer:
                     ks.append(krng)
                 lrs_w = jnp.asarray(
                     [xyz_sched(iteration + k) for k in range(w)], jnp.float32)
-                if self.mesh is not None:
+                if self._view_mesh:
                     multi_fn = self._get_parallel_multi_fn(use_depth)
                     state, metrics_stack = multi_fn(
                         state, g.cameras, g.images, g.masks, g.depths,
@@ -510,7 +586,7 @@ class Trainer:
                                    jnp.float32(scale))
 
                 self.rng, krng = jax.random.split(self.rng)
-                if self.mesh is not None:
+                if self._view_mesh:
                     # K=1 window of the indexed parallel step (pseudo args
                     # ride replicated with a leading K axis).
                     pk = ()
@@ -612,19 +688,44 @@ class Trainer:
         cap = state.model.params.capacity
         if cap - n_alive < max(n_alive, 2048):
             new_cap = max(cap * 2, -(-(2 * n_alive + 2048) // 1024) * 1024)
-            model, opt = grow_capacity(state.model, state.opt, new_cap)
-            state = state.replace(model=model, opt=opt)
+            if self._gauss_mesh:
+                from skyfall_gs_tpu.parallel.gauss_shard import (
+                    sharded_grow_capacity,
+                )
+
+                n = int(self.mesh.shape[self.mesh_axis])
+                new_cap = -(-new_cap // n) * n
+                state = sharded_grow_capacity(state, self.mesh, new_cap,
+                                              self.mesh_axis)
+            else:
+                model, opt = grow_capacity(state.model, state.opt, new_cap)
+                state = state.replace(model=model, opt=opt)
         self.rng, k = jax.random.split(self.rng)
-        params, aux, opt, stats = self._densify_fn(
-            state.model.params, state.model.aux, state.opt, k,
+        dens_kwargs = dict(
             max_grad=o.densify_grad_threshold, min_opacity=0.005,
             extent=float(self.scene.cameras_extent),
             max_screen_size=float(o.size_threshold),
             percent_dense=o.percent_dense,
         )
-        state = state.replace(
-            model=state.model.replace(params=params, aux=aux), opt=opt
-        )
+        if self._gauss_mesh:
+            key = ("gauss_densify",)
+            if key not in self._step_fns:
+                from skyfall_gs_tpu.parallel.gauss_shard import (
+                    make_sharded_densify,
+                )
+
+                self._step_fns[key] = make_sharded_densify(
+                    self.mesh, getattr(self, "_gauss_template", state),
+                    axis=self.mesh_axis, **dens_kwargs)
+            state, stats = self._step_fns[key](state, k)
+        else:
+            params, aux, opt, stats = self._densify_fn(
+                state.model.params, state.model.aux, state.opt, k,
+                **dens_kwargs,
+            )
+            state = state.replace(
+                model=state.model.replace(params=params, aux=aux), opt=opt
+            )
         state = state.replace(model=state.model.replace(
             aux=state.model.aux.replace(filter_3d=self._compute_filter(state))
         ))

@@ -1,0 +1,129 @@
+"""Trainer gaussian-sharded mode: splat-state sharding through the
+production Trainer (mesh_mode="gauss" — parallel/gauss_shard).
+
+The HBM-scaling axis as a full trainer mode, not just a bare step:
+  * a 1-device gauss mesh reproduces the single-device trajectory (the
+    depth-binned merge over one bin IS the plain composite);
+  * fused windows (make_gauss_sharded_multistep) don't change the
+    gauss-mode trajectory across densify/reset/growth events;
+  * a 4-device run with depth supervision, sharded densification
+    (global quantile via collectives, shard-local clone/split/prune) and
+    even-pad capacity growth trains end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skyfall_gs_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+)
+from tests.test_train import _synthetic_scene
+
+
+def _mk(scene, tmp_path, mesh, fuse=8, **opt_overrides):
+    from skyfall_gs_tpu.train.loop import Trainer
+
+    model_cfg = ModelConfig(model_path=str(tmp_path))
+    defaults = dict(
+        iterations=18, densify_from_iter=10 ** 9, densify_until_iter=0,
+        opacity_reset_interval=10 ** 9, lambda_depth=0.0,
+        lambda_opacity=0.01, position_lr_max_steps=18,
+    )
+    defaults.update(opt_overrides)
+    return Trainer(model_cfg, OptimizationConfig(**defaults),
+                   PipelineConfig(fuse_steps=fuse), scene, mesh=mesh,
+                   mesh_mode="gauss")
+
+
+def _gauss_mesh(n):
+    from jax.sharding import Mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"needs >= {n} cpu devices")
+    return Mesh(np.array(devs[:n]), ("gauss",))
+
+
+@pytest.mark.slow
+class TestTrainerGauss:
+    def test_gauss1_matches_single_device(self, rng, tmp_path):
+        from skyfall_gs_tpu.train.loop import Trainer
+
+        scene = _synthetic_scene(rng)
+        model_cfg = ModelConfig(model_path=str(tmp_path))
+        opt = dict(iterations=10, densify_from_iter=10 ** 9,
+                   densify_until_iter=0, opacity_reset_interval=10 ** 9,
+                   lambda_depth=0.5, lambda_opacity=0.01,
+                   position_lr_max_steps=10)
+        t0 = Trainer(model_cfg, OptimizationConfig(**opt),
+                     PipelineConfig(fuse_steps=1), scene)
+        s0 = t0.train(t0.init_state(), iterations=10)
+        t1 = _mk(scene, tmp_path, _gauss_mesh(1), fuse=1, **opt)
+        s1 = t1.train(t1.init_state(), iterations=10)
+        # One depth bin over one shard is the plain composite: only XLA
+        # fusion-order wobble remains.
+        np.testing.assert_allclose(np.asarray(s1.model.params.xyz),
+                                   np.asarray(s0.model.params.xyz),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1.opt.mu.opacity),
+                                   np.asarray(s0.opt.mu.opacity),
+                                   rtol=0, atol=1e-5)
+
+    def test_gauss_fused_matches_unfused(self, rng, tmp_path):
+        opt = dict(
+            iterations=18, densify_from_iter=2, densify_until_iter=14,
+            densification_interval=6, opacity_reset_interval=9,
+            opacity_cooldown_iterations=3, lambda_depth=0.0,
+            position_lr_max_steps=18, densify_grad_threshold=1e-7,
+        )
+        scene = _synthetic_scene(rng)
+        t1 = _mk(scene, tmp_path, _gauss_mesh(2), fuse=1, **opt)
+        s1 = t1.train(t1.init_state(), iterations=18)
+        tf = _mk(scene, tmp_path, _gauss_mesh(2), fuse=4, **opt)
+        sf = tf.train(tf.init_state(), iterations=18)
+        # scan-fused vs unrolled windows differ only by XLA fusion-order
+        # wobble (single elements at ~2e-5 after 18 iters with splits)
+        np.testing.assert_allclose(np.asarray(sf.model.params.xyz),
+                                   np.asarray(s1.model.params.xyz),
+                                   rtol=0, atol=5e-5)
+        assert int(sf.step) == int(s1.step) == 18
+        assert np.asarray(sf.model.aux.alive).sum() == \
+            np.asarray(s1.model.aux.alive).sum()
+
+    def test_gauss4_densify_and_growth_train(self, rng, tmp_path):
+        t = _mk(
+            _synthetic_scene(rng), tmp_path, _gauss_mesh(4), fuse=4,
+            iterations=16, lambda_depth=0.1,
+            densify_from_iter=2, densify_until_iter=14,
+            densification_interval=8, densify_grad_threshold=1e-7,
+        )
+        losses = []
+        log = t.logger.log_step
+
+        def spy(it, metrics, wall):
+            losses.append(float(metrics.loss))
+            return log(it, metrics, wall)
+
+        t.logger.log_step = spy
+        state0 = t.init_state()
+        cap0 = state0.model.params.capacity
+        n0 = int(state0.model.num_alive)
+        state = t.train(state0, iterations=16)
+        assert int(state.step) == 16
+        assert np.isfinite(losses).all()
+        assert min(losses) < losses[0]
+        # densification ran on the sharded state and changed the census
+        assert int(state.model.num_alive) != n0
+        # the state stayed sharded along gauss the whole way
+        sh = state.model.params.xyz.sharding
+        assert "gauss" in getattr(sh, "spec", ())
+        # capacity growth (triggered by the free-space guard) stayed
+        # divisible across shards
+        assert state.model.params.capacity % 4 == 0
+        assert state.model.params.capacity >= cap0
+        assert np.isfinite(np.asarray(state.model.params.xyz)).all()
