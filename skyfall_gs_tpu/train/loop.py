@@ -157,6 +157,33 @@ class Trainer:
             seed=self.rng_seed,
         )
         state = init_train_state(model)
+        if start_checkpoint and (start_checkpoint.endswith(".orbax")
+                                 or os.path.isdir(start_checkpoint)):
+            # Collective sharded restore: shard the template FIRST so every
+            # leaf lands with its target sharding, never gathered.
+            from skyfall_gs_tpu.train.checkpoint_sharded import (
+                load_checkpoint_sharded,
+                peek_checkpoint_meta_sharded,
+            )
+
+            meta = peek_checkpoint_meta_sharded(start_checkpoint)
+            if meta["capacity"] != model.params.capacity:
+                grown_model, grown_opt = grow_capacity(
+                    state.model, state.opt, meta["capacity"])
+                state = state.replace(model=grown_model, opt=grown_opt)
+            if self._gauss_mesh:
+                from skyfall_gs_tpu.parallel.gauss_shard import (
+                    shard_train_state,
+                )
+
+                state = shard_train_state(state, self.mesh, self.mesh_axis)
+            state, it = load_checkpoint_sharded(start_checkpoint, state)
+            self.start_iteration = it
+            state = state.replace(
+                model=state.model.replace(
+                    aux=state.model.aux.replace(
+                        filter_3d=self._compute_filter(state))))
+            return state
         if start_checkpoint:
             from skyfall_gs_tpu.train.checkpoint import (
                 load_checkpoint,
@@ -646,8 +673,20 @@ class Trainer:
             if iteration in save_iterations:
                 self.save_ply(state, iteration)
             if iteration in checkpoint_iterations:
-                path = os.path.join(cfg.model_path, f"chkpnt{iteration}.npz")
-                save_checkpoint(path, state, iteration)
+                if self._gauss_mesh:
+                    # Collective orbax save — the sharded state is never
+                    # gathered to one host (train/checkpoint_sharded.py).
+                    from skyfall_gs_tpu.train.checkpoint_sharded import (
+                        save_checkpoint_sharded,
+                    )
+
+                    path = os.path.join(cfg.model_path,
+                                        f"chkpnt{iteration}.orbax")
+                    save_checkpoint_sharded(path, state, iteration)
+                else:
+                    path = os.path.join(cfg.model_path,
+                                        f"chkpnt{iteration}.npz")
+                    save_checkpoint(path, state, iteration)
             iteration += 1
 
         if self.logger:

@@ -95,6 +95,29 @@ class TestTrainerGauss:
         assert np.asarray(sf.model.aux.alive).sum() == \
             np.asarray(s1.model.aux.alive).sum()
 
+    def test_gauss_checkpoint_resume_orbax(self, rng, tmp_path):
+        """Gauss-mode checkpoints ride the orbax collective path (no host
+        gather): save at 8, resume into a fresh sharded trainer, states
+        match bit-exactly including Adam moments."""
+        import os
+
+        scene = _synthetic_scene(rng)
+        opt = dict(iterations=8, lambda_depth=0.5, position_lr_max_steps=8)
+        t1 = _mk(scene, tmp_path, _gauss_mesh(2), fuse=1, **opt)
+        s1 = t1.train(t1.init_state(), iterations=8,
+                      checkpoint_iterations=(8,))
+        ckpt = os.path.join(str(tmp_path), "chkpnt8.orbax")
+        assert os.path.isdir(ckpt)
+
+        t2 = _mk(scene, tmp_path, _gauss_mesh(2), fuse=1, **opt)
+        s2 = t2.init_state(start_checkpoint=ckpt)
+        assert t2.start_iteration == 8
+        assert "gauss" in getattr(s2.model.params.xyz.sharding, "spec", ())
+        np.testing.assert_array_equal(np.asarray(s2.model.params.xyz),
+                                      np.asarray(s1.model.params.xyz))
+        np.testing.assert_array_equal(np.asarray(s2.opt.nu.scaling),
+                                      np.asarray(s1.opt.nu.scaling))
+
     def test_gauss4_densify_and_growth_train(self, rng, tmp_path):
         t = _mk(
             _synthetic_scene(rng), tmp_path, _gauss_mesh(4), fuse=4,
