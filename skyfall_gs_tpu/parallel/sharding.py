@@ -225,6 +225,75 @@ def make_parallel_multistep_indexed(mesh: Mesh, opt_cfg, axis: str = "data",
     return jax.jit(sharded)
 
 
+def make_parallel_idu_multistep(mesh: Mesh, opt_cfg, idu_kwargs: dict,
+                                orig_kwargs: dict, axis: str = "data",
+                                use_pseudo: bool = False):
+    """View-parallel scan-fused window of MIXED IDU/original episode steps:
+    the multi-chip counterpart of train.step.make_idu_multistep (runtime
+    per-step kind, lax.cond between the two step bodies) composed with
+    make_parallel_multistep_indexed's B-views-per-step semantics (pmean'd
+    grads, psum/pmax'd densify stats, replicated update, device-resident
+    view groups, (K, B) index picks).
+
+    Signature:
+        multi(state,
+              idu_cameras (M1-stacked), idu_images (M1,H1,W1,3),
+              idu_masks, idu_depths,
+              orig_cameras (M2-stacked), orig_images (M2,H2,W2,3),
+              orig_masks, orig_depths,
+              kinds (K,) int32 (1 = IDU view, 0 = original view),
+              idu_idxs (K,B), orig_idxs (K,B) int32 (dummy 0 where unused),
+              bg (3,), rngs (K,2), xyz_lrs (K,), lambda_opacities (K,)
+              [, pseudo_cameras (K-stacked), pseudo_depths (K,Hp,Wp),
+               pseudo_scales (K,)])
+            -> (state, StepMetrics with (K,)-leaves)
+    """
+    g_idu = _build_grads_fn(opt_cfg, use_pseudo=use_pseudo, **idu_kwargs)
+    g_orig = _build_grads_fn(opt_cfg, use_pseudo=use_pseudo, **orig_kwargs)
+
+    def local_multi(state, idu_cameras, idu_images, idu_masks, idu_depths,
+                    orig_cameras, orig_images, orig_masks, orig_depths,
+                    kinds, idu_idxs, orig_idxs, bg, rngs, xyz_lrs,
+                    lambda_opacities, *pseudo_kargs):
+        def body(st, xs):
+            kind, ii, oi, key, lr, lam = xs[:6]
+            pseudo = xs[6:]
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+            def run(grads_fn, cameras, images, masks, depths, idx, st):
+                i0 = idx[0]  # local (1,) slice of this step's (B,) picks
+                cam = jax.tree.map(lambda x: x[i0], cameras)
+                loss, aux_out, gparams, gdummies = grads_fn(
+                    st.model, cam, images[i0], masks[i0], depths[i0], bg,
+                    key, lam, *pseudo)
+                return _combine_and_update(
+                    st, loss, aux_out, gparams, gdummies,
+                    cam.width, cam.height, opt_cfg, lr, axis)
+
+            return jax.lax.cond(
+                kind == 1,
+                lambda s: run(g_idu, idu_cameras, idu_images, idu_masks,
+                              idu_depths, ii, s),
+                lambda s: run(g_orig, orig_cameras, orig_images, orig_masks,
+                              orig_depths, oi, s),
+                st)
+
+        return jax.lax.scan(
+            body, state,
+            (kinds, idu_idxs, orig_idxs, rngs, xyz_lrs, lambda_opacities)
+            + tuple(pseudo_kargs))
+
+    n_extra = 3 if use_pseudo else 0
+    sharded = shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(P(),) * 9 + (P(), P(None, axis), P(None, axis),
+                               P(), P(), P(), P()) + (P(),) * n_extra,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_tile_parallel_render(mesh: Mesh, kernel_size: float = 0.1,
                               backend: str = "tiled", axis: str = "data",
                               bin_capacity=None):

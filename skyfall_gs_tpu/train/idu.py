@@ -210,11 +210,17 @@ class IDUOrchestrator:
         idu_indices: List[int] = []
         pseudo_stack: List = []
 
+        if getattr(t, "_gauss_mesh", False):
+            raise NotImplementedError(
+                "IDU episodes under gaussian sharding are not supported yet;"
+                " use mesh_mode='view' or no mesh for Stage 2")
+        mesh_B = t._mesh_B  # 0 = single device; >0 = view-parallel episodes
+
         def draw_tuple(j: int):
             """One iteration's host-RNG draws: the IDU/original Bernoulli
-            flip and the view pick.  Shared by the fused and single paths so
-            both consume the py_rng stream identically (same invariant as
-            Trainer._pick_step)."""
+            flip and the view pick (a full B-row in view-mesh mode, drawn
+            atomically like Trainer._pick_step).  Shared by the fused and
+            single paths so both consume the py_rng stream identically."""
             use_idu = (
                 j + o.idu_iter_full_train <= end_iter
                 and t.py_rng.random() < o.idu_train_ratio
@@ -223,8 +229,14 @@ class IDUOrchestrator:
                 if not idu_indices:
                     idu_indices.extend(range(idu_group.size))
                 i = idu_indices.pop(t.py_rng.randrange(len(idu_indices)))
+                if mesh_B:
+                    i = [i] + [t.py_rng.randrange(idu_group.size)
+                               for _ in range(mesh_B - 1)]
                 return (True, None, i)
             g, i = t._pick_view()
+            if mesh_B:
+                i = [i] + [t.py_rng.randrange(g.size)
+                           for _ in range(mesh_B - 1)]
             return (False, g, i)
 
         def pseudo_at(j: int) -> bool:
@@ -248,34 +260,45 @@ class IDUOrchestrator:
                 return True
             return j % o.idu_testing_interval == 0 or j == end_iter
 
-        def multi_fn():
-            # Mixed-kind fused window: kinds are runtime inputs (see
-            # make_train_step.make_idu_multistep).  One signature covers
-            # every IDU/original interleaving.
-            key = ("idu_multi", t.bin_capacity)
-            if key not in step_cache:
-                from skyfall_gs_tpu.train.step import make_idu_multistep
+        def _kind_kwargs():
+            lpips_fn = None
+            if o.use_lpips_loss:
+                lpips_fn = t._get_lpips()._jitted
+            common = dict(
+                kernel_size=cfg.kernel_size,
+                backend=t.pipe_cfg.rasterizer_backend,
+                ray_jitter=cfg.ray_jitter,
+                resample_gt=cfg.resample_gt_image,
+                bin_capacity=t.bin_capacity,
+                lpips_fn=lpips_fn,
+            )
+            return (dict(use_depth=o.lambda_depth > 0,
+                         photometric=o.idu_refine,
+                         testing_render=not o.idu_random_ap, **common),
+                    dict(use_depth=False, photometric=True, **common))
 
-                lpips_fn = None
-                if o.use_lpips_loss:
-                    lpips_fn = t._get_lpips()._jitted
-                common = dict(
-                    kernel_size=cfg.kernel_size,
-                    backend=t.pipe_cfg.rasterizer_backend,
-                    ray_jitter=cfg.ray_jitter,
-                    resample_gt=cfg.resample_gt_image,
-                    bin_capacity=t.bin_capacity,
-                    lpips_fn=lpips_fn,
-                )
-                step_cache[key] = make_idu_multistep(
-                    o,
-                    idu_kwargs=dict(
-                        use_depth=o.lambda_depth > 0,
-                        photometric=o.idu_refine,
-                        testing_render=not o.idu_random_ap, **common),
-                    orig_kwargs=dict(
-                        use_depth=False, photometric=True, **common),
-                )
+        def multi_fn(use_pseudo: bool = False):
+            # Mixed-kind fused window: kinds are runtime inputs (see
+            # train.step.make_idu_multistep / parallel.sharding.
+            # make_parallel_idu_multistep).  One signature covers every
+            # IDU/original interleaving.
+            key = ("idu_multi", mesh_B, use_pseudo, t.bin_capacity)
+            if key not in step_cache:
+                idu_kwargs, orig_kwargs = _kind_kwargs()
+                if mesh_B:
+                    from skyfall_gs_tpu.parallel.sharding import (
+                        make_parallel_idu_multistep,
+                    )
+
+                    step_cache[key] = make_parallel_idu_multistep(
+                        t.mesh, o, idu_kwargs, orig_kwargs,
+                        axis=t.mesh_axis, use_pseudo=use_pseudo)
+                else:
+                    from skyfall_gs_tpu.train.step import make_idu_multistep
+
+                    assert not use_pseudo
+                    step_cache[key] = make_idu_multistep(
+                        o, idu_kwargs=idu_kwargs, orig_kwargs=orig_kwargs)
             return step_cache[key]
 
         # Dummy original-group for all-IDU windows: a stable pick keeps the
@@ -322,6 +345,14 @@ class IDUOrchestrator:
                         pending.append(tup)
                     window = [head]
 
+            def row(tup, kind):
+                """(K-slot, B) index row for the fused call (dummy zeros for
+                the other kind's slots)."""
+                if (tup[0] is not kind):
+                    return [0] * max(mesh_B, 1)
+                i = tup[2]
+                return list(i) if isinstance(i, list) else [i]
+
             if len(window) > 1:
                 w = len(window)
                 ks, lrs, lams = [], [], []
@@ -341,10 +372,16 @@ class IDUOrchestrator:
                          default_group)
                 kinds = jnp.asarray([1 if tup[0] else 0 for tup in window],
                                     jnp.int32)
-                idu_idxs = jnp.asarray(
-                    [tup[2] if tup[0] else 0 for tup in window], jnp.int32)
-                orig_idxs = jnp.asarray(
-                    [0 if tup[0] else tup[2] for tup in window], jnp.int32)
+                idu_rows = [row(tup, True) for tup in window]
+                orig_rows = [row(tup, False) for tup in window]
+                if mesh_B:
+                    idu_idxs = jnp.asarray(idu_rows, jnp.int32)   # (K, B)
+                    orig_idxs = jnp.asarray(orig_rows, jnp.int32)
+                else:
+                    idu_idxs = jnp.asarray([r[0] for r in idu_rows],
+                                           jnp.int32)             # (K,)
+                    orig_idxs = jnp.asarray([r[0] for r in orig_rows],
+                                            jnp.int32)
                 state, mstack = multi_fn()(
                     state, idu_group.cameras, idu_group.images,
                     idu_group.masks, idu_group.depths,
@@ -379,7 +416,31 @@ class IDUOrchestrator:
                     pseudo_args = (pcam, jnp.asarray(pdepth),
                                    jnp.float32(1.0))
 
-                if use_idu:
+                if mesh_B:
+                    # K=1 window of the parallel mixed-kind step (pseudo
+                    # args replicate with a leading K axis).
+                    pk = ()
+                    if use_pseudo:
+                        pcam, pdepth, pscale = pseudo_args
+                        pk = (jax.tree.map(lambda x: jnp.asarray(x)[None],
+                                           pcam),
+                              pdepth[None], pscale[None])
+                    gg = g if g is not None else default_group
+                    head_row = row(head, head[0])
+                    state, mstack = multi_fn(use_pseudo)(
+                        state, idu_group.cameras, idu_group.images,
+                        idu_group.masks, idu_group.depths,
+                        gg.cameras, gg.images, gg.masks, gg.depths,
+                        jnp.asarray([1 if use_idu else 0], jnp.int32),
+                        jnp.asarray([head_row if use_idu
+                                     else [0] * mesh_B], jnp.int32),
+                        jnp.asarray([[0] * mesh_B if use_idu
+                                     else head_row], jnp.int32),
+                        t.bg, krng[None],
+                        jnp.asarray([xyz_lr], jnp.float32),
+                        jnp.asarray([lambda_opacity], jnp.float32), *pk)
+                    metrics = jax.tree.map(lambda x: x[0], mstack)
+                elif use_idu:
                     cam, image, mask, depth = idu_group.select(i)
                     state, metrics = idu_step_fn(use_pseudo)(
                         state, cam, image, mask, depth, t.bg, krng,

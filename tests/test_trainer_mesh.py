@@ -79,6 +79,77 @@ class TestTrainerMesh:
         assert np.asarray(sf.model.aux.alive).sum() == \
             np.asarray(s1.model.aux.alive).sum()
 
+    def test_idu_episode_mesh_b1_matches_single_device(self, rng, tmp_path):
+        """A 1-device view mesh reproduces the single-device EPISODE
+        trajectory (B=1 rows add no extra draws; pmean over one device is
+        the identity)."""
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+        from skyfall_gs_tpu.priors import IdentityRefiner, RenderDepthPredictor
+        from skyfall_gs_tpu.train.idu import IDUOrchestrator
+
+        opt = dict(
+            iterations=12, idu_episode_iterations=12,
+            idu_densify_until_iter=8, densify_from_iter=2,
+            densification_interval=6, idu_opacity_reset_interval=10 ** 9,
+            idu_testing_interval=10 ** 9, idu_num_cams=2,
+            idu_num_samples_per_view=1, idu_render_size=32,
+            idu_train_ratio=0.5, lambda_depth=0.5, idu_refine=False,
+            idu_position_lr_max_steps=12, densify_grad_threshold=1e-7,
+        )
+        scene = _synthetic_scene(rng)
+
+        def run(mesh, sub):
+            t = _mk(scene, tmp_path / sub, mesh=mesh, fuse=4, **opt)
+            orch = IDUOrchestrator(trainer=t, refiner=IdentityRefiner(),
+                                   depth_predictor=RenderDepthPredictor())
+            return orch.train_episode(t.init_state(), 0, [[0.0, 0.0, 0.0]],
+                                      60.0, 3.0, 60.0)
+
+        s0 = run(None, "a")
+        s1 = run(make_mesh(1), "b")
+        np.testing.assert_allclose(np.asarray(s1.model.params.xyz),
+                                   np.asarray(s0.model.params.xyz),
+                                   rtol=0, atol=5e-5)
+        assert int(s1.step) == int(s0.step) == 12
+        assert np.asarray(s1.model.aux.alive).sum() == \
+            np.asarray(s0.model.aux.alive).sum()
+
+    def test_idu_episode_mesh4_with_pseudo_trains(self, rng, tmp_path):
+        """A 4-device view-parallel episode with mixed-kind fused windows,
+        pseudo-depth supervision and densification trains end to end."""
+        from skyfall_gs_tpu.parallel.mesh import make_mesh
+        from skyfall_gs_tpu.priors import IdentityRefiner, RenderDepthPredictor
+        from skyfall_gs_tpu.train.idu import IDUOrchestrator
+
+        if len(jax.devices("cpu")) < 4:
+            pytest.skip("needs >= 4 cpu devices")
+        t = _mk(
+            _synthetic_scene(rng), tmp_path, mesh=make_mesh(4), fuse=4,
+            iterations=14, idu_episode_iterations=14,
+            idu_densify_until_iter=10, densify_from_iter=2,
+            densification_interval=7, idu_opacity_reset_interval=10 ** 9,
+            idu_testing_interval=10 ** 9, idu_num_cams=2,
+            idu_num_samples_per_view=1, idu_render_size=32,
+            idu_train_ratio=0.5, lambda_depth=0.5, idu_refine=False,
+            lambda_pseudo_depth=0.1, sample_pseudo_interval=5,
+            idu_position_lr_max_steps=14, densify_grad_threshold=1e-7,
+        )
+
+        def small_stack(ele, rad):
+            from skyfall_gs_tpu.core.camera import orbit_cameras
+
+            return orbit_cameras([0, 0, 0], ele, 3.0, num_cams=4,
+                                 width=32, height=32, fov_deg=60.0,
+                                 uids=[0] * 4)
+        t._gen_pseudo_stack_at = small_stack
+        orch = IDUOrchestrator(trainer=t, refiner=IdentityRefiner(),
+                               depth_predictor=RenderDepthPredictor())
+        state = orch.train_episode(t.init_state(), 0, [[0.0, 0.0, 0.0]],
+                                   60.0, 3.0, 60.0)
+        assert int(state.step) == 14
+        assert np.isfinite(np.asarray(state.model.params.xyz)).all()
+        assert float(np.asarray(state.model.aux.denom).max()) > 0
+
     def test_mesh8_full_features_trains(self, rng, tmp_path):
         from skyfall_gs_tpu.parallel.mesh import make_mesh
 
