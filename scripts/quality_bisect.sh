@@ -1,0 +1,30 @@
+#!/bin/bash
+# Bisect the 256px quality-gate regression (23.2 dB/6300 splats at c2177f8 ->
+# 22.6 dB/12441 splats in BENCH_r03) across the ops/rasterize_tiled.py commits
+# that are the only source change in that window (VERDICT round 3, item 2):
+#   c2177f8  24-row layout, distributed backward algebra  (the 23.2 dB record)
+#   9fef357  16-row packed attribute table
+#   1748360  backward algebra factored through u,v
+#   11dfaba  dead negations dropped, post-reduced scales
+#   HEAD     current
+#
+# CPU-interpret parity says old/new kernels agree to ~1e-7 rel, so any
+# trajectory split is TPU-numerics (fusion-order) drift amplified through the
+# densify quantile — only measurable on hardware.  Each gate run is ~2000
+# iterations at 256px (~2 min + 30-90 s compile per fresh jit signature).
+#
+# TPU-sequential: run ALONE (single axon client; see CLAUDE.md).
+set -u
+cd "$(dirname "$0")/.."
+F=skyfall_gs_tpu/ops/rasterize_tiled.py
+OUT=${1:-/tmp/quality_bisect}
+mkdir -p "$OUT"
+trap 'git checkout HEAD -- "$F"' EXIT
+
+for C in c2177f8 9fef357 1748360 11dfaba HEAD; do
+  git show "$C:$F" > "$F" || { echo "git show $C failed"; exit 1; }
+  echo "=== $C ===" | tee -a "$OUT/log.txt"
+  timeout 1800 python -u scripts/quality_gate.py 2>&1 \
+    | tee "$OUT/$C.full.log" | tail -3 | tee -a "$OUT/log.txt"
+done
+echo "results in $OUT/log.txt"
