@@ -111,11 +111,19 @@ def main():
         lr = jnp.float32(1e-4)
         lo = jnp.float32(0.1)
 
-        def run_step(ts):
-            new_ts, m = step(ts, cam, gt, mask, depth, bg, kk, lr, lo)
-            return new_ts.model.params.xyz
-
-        timeit("full train step", run_step, ts)
+        # make_train_step DONATES the input state — thread a COPY through
+        # the timing loop (the original ts/params feed the later probes).
+        st = jax.tree.map(jnp.copy, ts)
+        for _ in range(WARMUP):
+            st, _m = step(st, cam, gt, mask, depth, bg, kk, lr, lo)
+        sync(st.model.params.xyz)
+        t0 = time.perf_counter()
+        for _ in range(MEASURE):
+            st, _m = step(st, cam, gt, mask, depth, bg, kk, lr, lo)
+        sync(st.model.params.xyz)
+        dt = (time.perf_counter() - t0) / MEASURE
+        print(f"{'full train step':40s} {dt * 1e3:8.2f} ms", flush=True)
+        del st
 
     if want("fwd"):
         @jax.jit

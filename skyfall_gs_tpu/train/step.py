@@ -255,8 +255,17 @@ def _build_step_fn(opt_cfg, **kwargs):
 
 
 def make_train_step(*args, **kwargs):
-    """Jitted single step — see :func:`_build_step_fn` for the signature."""
-    return jax.jit(_build_step_fn(*args, **kwargs))
+    """Jitted single step — see :func:`_build_step_fn` for the signature.
+
+    The input TrainState is DONATED: every production caller rebinds
+    ``state, metrics = step(state, ...)``, and donation lets XLA alias the
+    pass-through leaves (alive mask, filter_3d, densify accumulators on
+    non-accumulating steps) instead of copying them into fresh output
+    buffers, and update the Adam moments in place (halves the state's peak
+    HBM footprint).  On CPU donation is ignored (tests unaffected); never
+    reuse the input state after calling on TPU.
+    """
+    return jax.jit(_build_step_fn(*args, **kwargs), donate_argnums=(0,))
 
 
 def make_train_multistep(*args, **kwargs):
@@ -292,7 +301,8 @@ def make_train_multistep(*args, **kwargs):
         return jax.lax.scan(body, state,
                             (idxs, rngs, xyz_lrs, lambda_opacities))
 
-    return jax.jit(multi)
+    # State donated: callers rebind (see make_train_step).
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_idu_multistep(opt_cfg, idu_kwargs: dict, orig_kwargs: dict):
@@ -353,7 +363,8 @@ def make_idu_multistep(opt_cfg, idu_kwargs: dict, orig_kwargs: dict):
             body, state,
             (kinds, idu_idxs, orig_idxs, rngs, xyz_lrs, lambda_opacities))
 
-    return jax.jit(multi)
+    # State donated: callers rebind (see make_train_step).
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_render(kernel_size: float = 0.1, backend: str = "tiled",

@@ -378,7 +378,10 @@ class TestGaussianSharded:
         cfg = OptimizationConfig()
         # single device (normals off to match the sharded channel layout)
         step1 = make_train_step(cfg, use_depth=True)
-        ts1, m1 = step1(ts, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
+        # make_train_step donates its input state — pass a copy so ts
+        # stays alive for the sharded step and the comparisons below.
+        ts1, m1 = step1(jax.tree.map(jnp.copy, ts), cam, gt, mask,
+                        depth, bg, jax.random.PRNGKey(0),
                         jnp.float32(1e-3), jnp.float32(0.1))
 
         stepN = make_gauss_sharded_train_step(mesh, cfg, ts, use_depth=True)
@@ -467,7 +470,10 @@ class TestGaussianSharded:
 
         cfg = OptimizationConfig()
         step1 = make_train_step(cfg, use_depth=True)
-        ts1, m1 = step1(ts, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
+        # make_train_step donates its input state — pass a copy so ts
+        # stays alive for the sharded step and the comparisons below.
+        ts1, m1 = step1(jax.tree.map(jnp.copy, ts), cam, gt, mask,
+                        depth, bg, jax.random.PRNGKey(0),
                         jnp.float32(1e-3), jnp.float32(0.1))
 
         stepN = make_gauss_sharded_train_step(mesh, cfg, ts, use_depth=True)
