@@ -18,13 +18,20 @@ set -u
 cd "$(dirname "$0")/.."
 F=skyfall_gs_tpu/ops/rasterize_tiled.py
 OUT=${1:-/tmp/quality_bisect}
+SEEDS=${SEEDS:-1}   # SEEDS=3 for a chaos-aware median per commit (slower)
+# Refuse to clobber in-flight kernel work: the file is overwritten per
+# commit and trap-restored to HEAD, which would destroy uncommitted edits.
+if ! git diff --quiet HEAD -- "$F"; then
+  echo "$F has uncommitted changes; commit or stash them first" >&2
+  exit 1
+fi
 mkdir -p "$OUT"
 trap 'git checkout HEAD -- "$F"' EXIT
 
 for C in c2177f8 9fef357 1748360 11dfaba HEAD; do
   git show "$C:$F" > "$F" || { echo "git show $C failed"; exit 1; }
   echo "=== $C ===" | tee -a "$OUT/log.txt"
-  timeout 1800 python -u scripts/quality_gate.py 2>&1 \
-    | tee "$OUT/$C.full.log" | tail -3 | tee -a "$OUT/log.txt"
+  timeout $((1800 * SEEDS)) python -u scripts/quality_gate.py --seeds "$SEEDS" \
+    2>&1 | tee "$OUT/$C.full.log" | tail -4 | tee -a "$OUT/log.txt"
 done
 echo "results in $OUT/log.txt"

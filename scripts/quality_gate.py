@@ -16,11 +16,13 @@ Usage:  timeout 1200 python -u scripts/quality_gate.py [--seeds N]
 """
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# bench.py lives at the repo root; make the gate cwd-insensitive.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

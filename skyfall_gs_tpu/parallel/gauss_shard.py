@@ -329,7 +329,8 @@ def make_gauss_sharded_train_step(
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # State donated: every caller rebinds (Trainer, dryrun).
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_gauss_sharded_multistep(
@@ -377,7 +378,8 @@ def make_gauss_sharded_multistep(
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # State donated: every caller rebinds (Trainer, dryrun).
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_sharded_densify(mesh: Mesh, template_state: TrainState,
@@ -412,7 +414,8 @@ def make_sharded_densify(mesh: Mesh, template_state: TrainState,
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # State donated: every caller rebinds (Trainer, dryrun).
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def sharded_grow_capacity(state: TrainState, mesh: Mesh, new_capacity: int,
@@ -458,7 +461,9 @@ def sharded_grow_capacity(state: TrainState, mesh: Mesh, new_capacity: int,
         out_specs=new_spec,
         check_vma=False,
     )
-    return jax.jit(fn)(state)
+    # Donate: frees each device's old shard as the grown one
+    # materializes (the caller rebinds).
+    return jax.jit(fn, donate_argnums=(0,))(state)
 
 
 def make_grid_train_step(
@@ -523,7 +528,8 @@ def make_grid_train_step(
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # State donated: every caller rebinds (Trainer, dryrun).
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 # Leaves that replicate no matter their shape: the appearance camera table
@@ -542,7 +548,14 @@ def _is_splat_leaf(path, x, capacity: int) -> bool:
 
 def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
     """Device-put a TrainState with per-splat leaves sharded along axis
-    (appearance camera table / MLP replicate)."""
+    (appearance camera table / MLP replicate).
+
+    Replicated leaves are COPIED, not aliased: device_put to a replicated
+    sharding may reuse the source buffer as one shard, and the sharded
+    steps DONATE their input state — an aliased buffer would delete the
+    caller's original leaves out from under it.  Replicated leaves are
+    small by design (camera table, MLP, scalars), so the copy is free;
+    per-splat leaves change shape per device and never alias."""
     from jax.sharding import NamedSharding
 
     capacity = state.model.params.capacity
@@ -550,6 +563,7 @@ def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "gauss"):
     def put(path, x):
         if _is_splat_leaf(path, x, capacity):
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(jnp.copy(x) if isinstance(x, jax.Array) else x,
+                              NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(put, state)

@@ -179,24 +179,14 @@ class IDUOrchestrator:
         def idu_step_fn(use_pseudo: bool):
             # Same LPIPS swap and right-sized binning capacity as Stage 1
             # (reference applies the LPIPS loss inside IDU episodes too,
-            # train.py:774-776).
+            # train.py:774-776).  Kwargs come from the SAME _kind_kwargs
+            # the fused windows use, so the single-step and fused IDU
+            # paths cannot drift apart.
             key = (use_pseudo, t.bin_capacity)
             if key not in step_cache:
-                lpips_fn = None
-                if o.use_lpips_loss:
-                    lpips_fn = t._get_lpips()._jitted
+                idu_kwargs, _ = _kind_kwargs()
                 step_cache[key] = make_train_step(
-                    o, kernel_size=cfg.kernel_size,
-                    backend=t.pipe_cfg.rasterizer_backend,
-                    ray_jitter=cfg.ray_jitter,
-                    resample_gt=cfg.resample_gt_image,
-                    use_depth=o.lambda_depth > 0,
-                    use_pseudo=use_pseudo,
-                    photometric=o.idu_refine,
-                    testing_render=not o.idu_random_ap,
-                    bin_capacity=t.bin_capacity,
-                    lpips_fn=lpips_fn,
-                )
+                    o, use_pseudo=use_pseudo, **idu_kwargs)
             return step_cache[key]
 
         def episode_pseudo_curriculum(iteration: int):
@@ -233,10 +223,10 @@ class IDUOrchestrator:
                     i = [i] + [t.py_rng.randrange(idu_group.size)
                                for _ in range(mesh_B - 1)]
                 return (True, None, i)
-            g, i = t._pick_view()
-            if mesh_B:
-                i = [i] + [t.py_rng.randrange(g.size)
-                           for _ in range(mesh_B - 1)]
+            # Original views draw through Trainer._pick_step so the atomic
+            # B-row invariant (lead + B-1 extras drawn together) lives in
+            # exactly one place.
+            g, i = t._pick_step()
             return (False, g, i)
 
         def pseudo_at(j: int) -> bool:

@@ -127,6 +127,14 @@ class Trainer:
                 raise NotImplementedError(
                     "ray_jitter is not supported under gaussian sharding "
                     "(the sharded step has no per-step rng)")
+            if (self.opt_cfg.lambda_pseudo_depth > 0
+                    and self.depth_predictor is not None):
+                # Fail at construction, not hours in at the first pseudo
+                # iteration (_get_gauss_step_fn would raise mid-training).
+                raise NotImplementedError(
+                    "pseudo-view depth supervision is not yet supported "
+                    "under gaussian sharding (mesh_mode='gauss'); set "
+                    "lambda_pseudo_depth=0 or pass no depth predictor")
         self._view_mesh = self.mesh is not None and self.mesh_mode == "view"
         self._gauss_mesh = self.mesh is not None and self.mesh_mode == "gauss"
         self._mesh_B = (
@@ -167,16 +175,53 @@ class Trainer:
             )
 
             meta = peek_checkpoint_meta_sharded(start_checkpoint)
-            if meta["capacity"] != model.params.capacity:
-                grown_model, grown_opt = grow_capacity(
-                    state.model, state.opt, meta["capacity"])
-                state = state.replace(model=grown_model, opt=grown_opt)
             if self._gauss_mesh:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as _P
+
                 from skyfall_gs_tpu.parallel.gauss_shard import (
+                    _is_splat_leaf,
                     shard_train_state,
                 )
 
-                state = shard_train_state(state, self.mesh, self.mesh_axis)
+                n = int(self.mesh.shape[self.mesh_axis])
+                cap1 = int(meta["capacity"])
+                if cap1 % n:
+                    # shard_map needs even division; fail with the real
+                    # constraint instead of an opaque dimension error at
+                    # the first train step.
+                    raise ValueError(
+                        f"sharded checkpoint capacity {cap1} is not "
+                        f"divisible by the {n}-shard '{self.mesh_axis}' "
+                        "mesh; restore on a mesh size that divides the "
+                        "saved capacity")
+                if cap1 != model.params.capacity:
+                    # Grow the template DIRECTLY into the sharded layout:
+                    # jit with sharded out_shardings materializes only 1/n
+                    # of the full-capacity buffers per device (the restore
+                    # overwrites every stored leaf; the template only
+                    # supplies shapes, shardings, and None/host leaves).
+                    # Growing unsharded first would OOM device 0 at
+                    # exactly the scale this mode exists for.
+                    def _grow(st):
+                        m, o = grow_capacity(st.model, st.opt, cap1)
+                        return st.replace(model=m, opt=o)
+
+                    abstract = jax.eval_shape(_grow, state)
+                    shardings = jax.tree_util.tree_map_with_path(
+                        lambda p, x: NamedSharding(
+                            self.mesh,
+                            _P(self.mesh_axis)
+                            if _is_splat_leaf(p, x, cap1) else _P()),
+                        abstract)
+                    state = jax.jit(_grow, out_shardings=shardings)(state)
+                else:
+                    state = shard_train_state(state, self.mesh,
+                                              self.mesh_axis)
+            elif meta["capacity"] != model.params.capacity:
+                grown_model, grown_opt = grow_capacity(
+                    state.model, state.opt, meta["capacity"])
+                state = state.replace(model=grown_model, opt=grown_opt)
             state, it = load_checkpoint_sharded(start_checkpoint, state)
             self.start_iteration = it
             state = state.replace(
@@ -464,7 +509,10 @@ class Trainer:
         if self._gauss_mesh:
             # Template for the shard_map leaf-spec decisions (which leaves
             # are per-splat + has_appearance); stable across capacity growth.
-            self._gauss_template = state
+            # Abstract (shapes/dtypes only): the spec builders never read
+            # values, and holding the real state here would pin a full
+            # extra copy of params + Adam moments in HBM for the whole run.
+            self._gauss_template = jax.eval_shape(lambda s: s, state)
         iterations = iterations or o.iterations
 
         xyz_sched = expon_lr_schedule(

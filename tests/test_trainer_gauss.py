@@ -118,6 +118,49 @@ class TestTrainerGauss:
         np.testing.assert_array_equal(np.asarray(s2.opt.nu.scaling),
                                       np.asarray(s1.opt.nu.scaling))
 
+    def test_gauss_orbax_resume_with_growth(self, rng, tmp_path):
+        """Restoring a checkpoint whose capacity exceeds the fresh
+        template's grows the template DIRECTLY into the sharded layout
+        (jit out_shardings — no device ever holds the full-capacity
+        state), and a mesh whose size does not divide the saved capacity
+        fails fast with the real constraint."""
+        import os
+
+        from skyfall_gs_tpu.train.loop import Trainer
+
+        scene = _synthetic_scene(rng)
+        model_cfg = ModelConfig(model_path=str(tmp_path))
+        opt = dict(iterations=8, densify_from_iter=10 ** 9,
+                   densify_until_iter=0, opacity_reset_interval=10 ** 9,
+                   lambda_depth=0.0, lambda_opacity=0.01,
+                   position_lr_max_steps=8)
+        t1 = Trainer(model_cfg, OptimizationConfig(**opt),
+                     PipelineConfig(fuse_steps=1, gaussian_capacity=2048),
+                     scene, mesh=_gauss_mesh(2), mesh_mode="gauss")
+        s1 = t1.train(t1.init_state(), iterations=8,
+                      checkpoint_iterations=(8,))
+        assert int(s1.model.params.capacity) == 2048
+        ckpt = os.path.join(str(tmp_path), "chkpnt8.orbax")
+        assert os.path.isdir(ckpt)
+
+        t2 = Trainer(model_cfg, OptimizationConfig(**opt),
+                     PipelineConfig(fuse_steps=1), scene,
+                     mesh=_gauss_mesh(2), mesh_mode="gauss")
+        assert t2.init_state().model.params.capacity < 2048  # growth is real
+        s2 = t2.init_state(start_checkpoint=ckpt)
+        assert int(s2.model.params.capacity) == 2048
+        assert "gauss" in getattr(s2.model.params.xyz.sharding, "spec", ())
+        np.testing.assert_array_equal(np.asarray(s2.model.params.xyz),
+                                      np.asarray(s1.model.params.xyz))
+        np.testing.assert_array_equal(np.asarray(s2.opt.nu.scaling),
+                                      np.asarray(s1.opt.nu.scaling))
+
+        t3 = Trainer(model_cfg, OptimizationConfig(**opt),
+                     PipelineConfig(fuse_steps=1), scene,
+                     mesh=_gauss_mesh(3), mesh_mode="gauss")
+        with pytest.raises(ValueError, match="not divisible"):
+            t3.init_state(start_checkpoint=ckpt)
+
     def test_gauss4_densify_and_growth_train(self, rng, tmp_path):
         t = _mk(
             _synthetic_scene(rng), tmp_path, _gauss_mesh(4), fuse=4,
