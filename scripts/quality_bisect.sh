@@ -19,6 +19,9 @@ cd "$(dirname "$0")/.."
 F=skyfall_gs_tpu/ops/rasterize_tiled.py
 OUT=${1:-/tmp/quality_bisect}
 SEEDS=${SEEDS:-1}   # SEEDS=3 for a chaos-aware median per commit (slower)
+# COMMITS="c2177f8 HEAD" for the cheap endpoint comparison first (checklist
+# step 3); only bisect the middle commits if the endpoints separate.
+COMMITS=${COMMITS:-"c2177f8 9fef357 1748360 11dfaba HEAD"}
 # Refuse to clobber in-flight kernel work: the file is overwritten per
 # commit and trap-restored to HEAD, which would destroy uncommitted edits.
 if ! git diff --quiet HEAD -- "$F"; then
@@ -28,7 +31,7 @@ fi
 mkdir -p "$OUT"
 trap 'git checkout HEAD -- "$F"' EXIT
 
-for C in c2177f8 9fef357 1748360 11dfaba HEAD; do
+for C in $COMMITS; do
   git show "$C:$F" > "$F" || { echo "git show $C failed"; exit 1; }
   echo "=== $C ===" | tee -a "$OUT/log.txt"
   timeout $((1800 * SEEDS)) python -u scripts/quality_gate.py --seeds "$SEEDS" \
