@@ -15,6 +15,7 @@ faster than the CUDA reference class.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -108,8 +109,11 @@ def main():
 
     # The production inner loop: the Trainer scan-fuses windows of
     # pipe.fuse_steps consecutive steps into one dispatch (host events
-    # break windows).  Drive the same fused path here.
-    FUSE = 8
+    # break windows).  Drive the same fused path here.  SKYFALL_BENCH_FUSE
+    # overrides the window for scheduling-gap experiments (the per-step
+    # profile shows ~4 ms of dispatch gaps at FUSE=8; longer windows
+    # amortize them further at the cost of densify/reset granularity).
+    FUSE = int(os.environ.get("SKYFALL_BENCH_FUSE", "8"))
     multi = make_train_multistep(opt_cfg, use_depth=True,
                                  bin_capacity=bin_capacity)
     cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
@@ -123,13 +127,13 @@ def main():
     # axon tunnel, and fresh jnp.float32() scalars add per-step transfers —
     # neither is part of the training step (the Trainer drives the same
     # way).
-    n_win = (WARMUP + MEASURE) // FUSE
+    warm_wins = max(1, WARMUP // FUSE)
+    meas_wins = max(2, MEASURE // FUSE)
+    n_win = warm_wins + meas_wins
     keys = jax.random.split(jax.random.PRNGKey(0), n_win * FUSE).reshape(
         n_win, FUSE, -1)
     xyz_lrs = jnp.full((FUSE,), 1e-4, jnp.float32)
     lams = jnp.full((FUSE,), 0.1, jnp.float32)
-
-    warm_wins = WARMUP // FUSE
     for i in range(warm_wins):
         ts, metrics = multi(ts, cam_stack, images, masks, depths, idxs, bg,
                             keys[i], xyz_lrs, lams)
@@ -153,6 +157,8 @@ def main():
         "unit": "iters/sec",
         "vs_baseline": round(its / BASELINE_ITERS_PER_SEC, 3),
     }
+    if FUSE != 8:
+        result["fuse_steps"] = FUSE  # experiment line, self-describing
     # Emit the perf line immediately: the driver parses the output tail, so
     # if the auxiliary quality phase below is cut off by a timeout, a valid
     # result line is still on record (the post-quality line supersedes it).
