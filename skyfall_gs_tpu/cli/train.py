@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="enable the SIBR viewer bridge on this port")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="enable jax_debug_nans: error at the first "
+                             "NaN-producing computation (reference "
+                             "train.py:1113,1130 torch detect_anomaly; "
+                             "under fused windows the error localizes to "
+                             "the window, so also consider --fuse_steps 1)")
     return parser
 
 
@@ -63,6 +69,11 @@ def main(argv=None) -> None:
         parser.error("--source_path/-s and --model_path/-m are required")
 
     seed_everything(args.seed)
+
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     # Multi-host pods: joins the jax.distributed runtime when the
     # SKYFALL_COORDINATOR/... environment is set (parallel/mesh.py emits it

@@ -131,6 +131,10 @@ class TestConfig:
         assert oc.lambda_depth == 0.7
         # defaults preserved
         assert oc.densify_until_iter == 20_000
+        # debugging flag (reference train.py:1113 --detect_anomaly)
+        assert args.detect_anomaly is False
+        assert parser.parse_args(
+            ["-s", "s", "-m", "m", "--detect_anomaly"]).detect_anomaly
 
     def test_saved_config_merge(self, tmp_path):
         from skyfall_gs_tpu.cli.train import build_parser
