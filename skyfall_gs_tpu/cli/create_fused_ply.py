@@ -18,12 +18,17 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     from skyfall_gs_tpu.cli.render_video import load_state_from_checkpoint
-    from skyfall_gs_tpu.io.gaussian_ply import save_fused_ply
+    from skyfall_gs_tpu.io.gaussian_ply import save_fused_ply, save_splat
 
     state, it = load_state_from_checkpoint(args.checkpoint)
     print(f"loaded checkpoint at iteration {it}; "
           f"{int(state.num_alive)} gaussians")
-    save_fused_ply(state, args.output, color_mapped=args.color_mapped)
+    if args.output.endswith(".splat"):
+        # Web-viewer binary format (beyond reference parity); filter is
+        # baked exactly like the fused PLY, SH band 0 only by design.
+        save_splat(state, args.output)
+    else:
+        save_fused_ply(state, args.output, color_mapped=args.color_mapped)
     print("wrote", args.output)
 
 

@@ -117,6 +117,63 @@ def save_fused_ply(state: GaussianModelState, path: str,
     write_ply(path, props, order)
 
 
+SH_C0 = 0.28209479177387814
+
+
+def save_splat(state: GaussianModelState, path: str) -> None:
+    """Export to the ``.splat`` web-viewer format (beyond reference parity:
+    the reference targets SIBR/PLY only; .splat is the de-facto format of
+    browser viewers — antimatter15/splat and descendants).
+
+    32 bytes per splat: position f32x3, LINEAR scale f32x3 (3D filter
+    baked, like the fused PLY), color rgba u8x4 (SH band 0 -> rgb, fused
+    opacity -> alpha), rotation u8x4 (normalized quaternion, component*128
+    +128, stored in the PLY rot_0..rot_3 order).  Splats are sorted by
+    descending opacity*volume importance so progressive loaders draw the
+    dominant structure first.
+    """
+    p = state.params
+    keep = _alive_np(state)
+    xyz = np.asarray(p.xyz)[keep].astype(np.float32)
+    scale = np.asarray(
+        scaling_with_3d_filter(p, state.aux.filter_3d))[keep].astype(
+        np.float32)
+    opac = np.asarray(
+        opacity_with_3d_filter(p, state.aux.filter_3d))[keep].astype(
+        np.float32)
+    rgb = 0.5 + SH_C0 * np.asarray(p.features_dc)[keep][:, 0, :]
+    quat = np.asarray(p.rotation)[keep].astype(np.float32)
+    quat = quat / np.maximum(np.linalg.norm(quat, axis=1, keepdims=True),
+                             1e-12)
+
+    order = np.argsort(-opac * scale.prod(axis=1))
+    n = xyz.shape[0]
+    rec = np.zeros((n, 32), np.uint8)
+    rec[:, 0:12] = xyz[order].view(np.uint8).reshape(n, 12)
+    rec[:, 12:24] = scale[order].view(np.uint8).reshape(n, 12)
+    rec[:, 24:27] = np.clip(rgb[order] * 255.0, 0, 255).astype(np.uint8)
+    rec[:, 27] = np.clip(opac[order] * 255.0, 0, 255).astype(np.uint8)
+    rec[:, 28:32] = np.clip(quat[order] * 128.0 + 128.0, 0, 255).astype(
+        np.uint8)
+    with open(path, "wb") as f:
+        f.write(rec.tobytes())
+
+
+def load_splat(path: str) -> dict:
+    """Read a .splat file back into float arrays (testing / tooling)."""
+    raw = np.fromfile(path, np.uint8)
+    if raw.size % 32:
+        raise ValueError(f"{path}: size {raw.size} is not a multiple of 32")
+    rec = raw.reshape(-1, 32)
+    return {
+        "xyz": rec[:, 0:12].copy().view(np.float32),
+        "scale": rec[:, 12:24].copy().view(np.float32),
+        "rgb": rec[:, 24:27].astype(np.float32) / 255.0,
+        "opacity": rec[:, 27].astype(np.float32) / 255.0,
+        "rotation": (rec[:, 28:32].astype(np.float32) - 128.0) / 128.0,
+    }
+
+
 def detect_sh_degree(props: dict) -> int:
     n_rest = len([k for k in props if k.startswith("f_rest_")])
     k_total = n_rest // 3 + 1

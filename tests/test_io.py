@@ -205,6 +205,54 @@ class TestGaussianPly:
         # fused scales include the filter: strictly larger
         assert (fused["scaling"] >= back["scaling"] - 1e-5).all()
 
+    def test_splat_roundtrip(self, rng, tmp_path):
+        from skyfall_gs_tpu.io.gaussian_ply import (
+            SH_C0,
+            load_splat,
+            save_splat,
+        )
+        from skyfall_gs_tpu.model.gaussians import (
+            create_from_points,
+            opacity_with_3d_filter,
+            scaling_with_3d_filter,
+        )
+        import jax.numpy as jnp
+
+        pts = rng.normal(size=(30, 3)).astype(np.float32)
+        cols = rng.uniform(size=(30, 3)).astype(np.float32)
+        st = create_from_points(pts, cols, capacity=64)
+        st = st.replace(aux=st.aux.replace(filter_3d=jnp.full(64, 0.3)))
+        path = str(tmp_path / "scene.splat")
+        save_splat(st, path)
+        assert os.path.getsize(path) == 30 * 32
+
+        back = load_splat(path)
+        # positions are exact f32; order is importance-sorted, so match sets
+        lex = lambda a: np.lexsort(a.T)  # noqa: E731
+        np.testing.assert_array_equal(back["xyz"][lex(back["xyz"])],
+                                      pts[lex(pts)])
+        order = lex(back["xyz"])
+        src = lex(pts)
+        # scales carry the baked 3D filter (exact f32)
+        want_scale = np.asarray(
+            scaling_with_3d_filter(st.params, st.aux.filter_3d))[:30]
+        np.testing.assert_allclose(back["scale"][order], want_scale[src],
+                                   rtol=1e-6)
+        # color/alpha/rotation are u8-quantized
+        want_rgb = np.clip(
+            0.5 + SH_C0 * np.asarray(st.params.features_dc)[:30, 0], 0, 1)
+        np.testing.assert_allclose(back["rgb"][order], want_rgb[src],
+                                   atol=1.0 / 255)
+        want_op = np.asarray(
+            opacity_with_3d_filter(st.params, st.aux.filter_3d))[:30]
+        np.testing.assert_allclose(back["opacity"][order], want_op[src],
+                                   atol=1.0 / 255)
+        q = back["rotation"]
+        np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=0.05)
+        # importance-sorted for progressive web loading
+        imp = back["opacity"] * back["scale"].prod(axis=1)
+        assert (np.diff(imp) <= 1e-6).all()
+
 
 class TestCheckpoint:
     def test_roundtrip(self, rng, tmp_path):
