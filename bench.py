@@ -164,6 +164,8 @@ def main():
     # result line is still on record (the post-quality line supersedes it).
     _EMITTED.update(result)
     print(json.dumps(result), flush=True)
+    if os.environ.get("SKYFALL_BENCH_SKIP_QUALITY"):
+        return  # perf-only sweep (e.g. SKYFALL_BENCH_FUSE experiments)
     try:
         result.update(quality_metric())
     except Exception as e:  # quality is auxiliary — never lose the perf line
