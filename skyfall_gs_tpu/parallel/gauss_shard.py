@@ -69,6 +69,7 @@ def sharded_render_merge(
     xyz, scales, quats, opac, colors, alive, camera, bg,
     kernel_size: float, axis: str, num_bins: int,
     mean2d_dummy=None, mean2d_abs_dummy=None, bin_capacity=None,
+    subpixel_offset=None,
 ):
     """Render inside shard_map: per-shard projection, all-gathered screen
     attrs, depth-binned per-device composite, exact over-merge.
@@ -119,6 +120,7 @@ def sharded_render_merge(
         g_mean2d, g_conic, g_depth, radii_bin, g_opac, g_channels,
         camera.height, camera.width,
         mean2d_abs_dummy=absd, cap=bin_capacity, radius_xy=rxy_bin,
+        subpixel_offset=subpixel_offset,
     )                                              # (H, W, 7), (H, W), ()
 
     # Exact depth-ordered merge across bins.
@@ -150,21 +152,46 @@ def _build_gauss_grads_fn(
     axis: str,
     num_bins: int,
     bin_capacity=None,
+    ray_jitter: bool = False,
+    resample_gt: bool = False,
+    use_pseudo: bool = False,
+    photometric: bool = True,
+    testing_render: bool = False,
 ):
     """Per-view loss + gradients on a gaussian shard — the sharded
     counterpart of :func:`skyfall_gs_tpu.train.step._build_grads_fn`
-    (same return contract, minus the pseudo-view arm).
+    (same call contract: every step option — ray-jitter subpixel offsets,
+    offset-resampled GT, pseudo-view monodepth supervision, photometric
+    on/off for unrefined IDU views, test-time appearance — behaves
+    identically; reference train.py:189-277).
 
     Runs inside shard_map; all collectives are over ``axis`` (the gaussian
     axis).  Returns ``grads(model, camera, gt_image, gt_mask, gt_depth, bg,
-    lambda_opacity) -> (loss, aux_out, gparams, gdummies)`` where gparams'
-    replicated appearance leaves are already psum'd over the shards (so a
-    subsequent Adam update stays bitwise identical across shards).
+    rng, lambda_opacity[, pseudo_camera, pseudo_gt_depth, pseudo_scale])
+    -> (loss, aux_out, gparams, gdummies)`` where gparams' replicated
+    appearance leaves are already psum'd over the shards (so a subsequent
+    Adam update stays bitwise identical across shards).
+
+    The rng is REPLICATED across the gaussian shards — ray-jitter offsets
+    must be identical on every shard because each shard composites a
+    different depth bin of the SAME image (mismatched jitter would break
+    the exact over-merge).
     """
 
     def grads(model, camera, gt_image, gt_mask, gt_depth, bg,
-              lambda_opacity):
+              rng, lambda_opacity,
+              pseudo_camera=None, pseudo_gt_depth=None, pseudo_scale=None):
         n_loc = model.params.xyz.shape[0]
+        h, w = camera.height, camera.width
+
+        if ray_jitter:
+            # Same split order as train.step._build_grads_fn so a 1-shard
+            # mesh reproduces the single-device trajectory exactly.
+            rng, krj = jax.random.split(rng)
+            subpix = jax.random.uniform(krj, (h, w, 2), jnp.float32) - 0.5
+        else:
+            subpix = None
+
         dummies0 = (jnp.zeros((n_loc, 2)), jnp.zeros((n_loc, 2)))
 
         def loss_fn(params, dummies):
@@ -175,34 +202,61 @@ def _build_gauss_grads_fn(
 
             scales = scaling_with_3d_filter(params, model.aux.filter_3d)
             opac = opacity_with_3d_filter(params, model.aux.filter_3d)
-            dirs = params.xyz - camera.cam_center[None, :]
-            dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
-            if has_appearance:
-                from skyfall_gs_tpu.model.appearance import apply_appearance
 
-                emb_table = params.appearance_embeddings
-                uid = jnp.clip(camera.uid, 0, emb_table.shape[0] - 1)
-                toned = apply_appearance(
-                    params.appearance_mlp, params.embeddings,
-                    emb_table[uid], params.features)            # (n_loc, K, 3)
-                sh = jnp.swapaxes(toned, 1, 2)
-            else:
-                sh = jnp.swapaxes(params.features, 1, 2)
-            colors = jnp.maximum(
-                eval_sh(model.active_sh_degree, sh, dirs) + 0.5, 0.0)
+            def render_view(cam, dums, sp, cap, testing):
+                """Sharded render of one camera: SH/appearance colors for
+                this shard's splats + depth-binned exact compositing
+                (mirrors model.render.render minus the normal channel)."""
+                dirs = params.xyz - cam.cam_center[None, :]
+                dirs = dirs / (
+                    jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+                if has_appearance:
+                    from skyfall_gs_tpu.model.appearance import (
+                        apply_appearance,
+                    )
 
-            color, depth_img, alpha, radii, overflow = sharded_render_merge(
-                params.xyz, scales, params.rotation, opac, colors,
-                model.aux.alive, camera, bg, kernel_size, axis, num_bins,
-                mean2d_dummy=dummies[0], mean2d_abs_dummy=dummies[1],
-                bin_capacity=bin_capacity,
-            )
+                    emb_table = params.appearance_embeddings
+                    if testing:
+                        # Fixed reference embedding uid min(6, M-1)
+                        # (reference gaussian_renderer/__init__.py:95-104).
+                        emb = emb_table[min(6, emb_table.shape[0] - 1)]
+                    else:
+                        uid = jnp.clip(cam.uid, 0, emb_table.shape[0] - 1)
+                        emb = emb_table[uid]
+                    toned = apply_appearance(
+                        params.appearance_mlp, params.embeddings,
+                        emb, params.features)                 # (n_loc, K, 3)
+                    sh = jnp.swapaxes(toned, 1, 2)
+                else:
+                    sh = jnp.swapaxes(params.features, 1, 2)
+                colors = jnp.maximum(
+                    eval_sh(model.active_sh_degree, sh, dirs) + 0.5, 0.0)
+                return sharded_render_merge(
+                    params.xyz, scales, params.rotation, opac, colors,
+                    model.aux.alive, cam, bg, kernel_size, axis, num_bins,
+                    mean2d_dummy=None if dums is None else dums[0],
+                    mean2d_abs_dummy=None if dums is None else dums[1],
+                    bin_capacity=cap, subpixel_offset=sp,
+                )
+
+            color, depth_img, alpha, radii, overflow = render_view(
+                camera, dummies, subpix, bin_capacity, testing_render)
             image = color * gt_mask[..., None]
             gt = gt_image * gt_mask[..., None]
-            photo, ll1 = photometric_loss(
-                jnp.transpose(image, (2, 0, 1)),
-                jnp.transpose(gt, (2, 0, 1)), opt_cfg.lambda_dssim)
-            total = photo
+            if resample_gt and subpix is not None:
+                from skyfall_gs_tpu.train.step import resample_with_offset
+
+                gt = resample_with_offset(gt, subpix)
+            if photometric:
+                photo, ll1 = photometric_loss(
+                    jnp.transpose(image, (2, 0, 1)),
+                    jnp.transpose(gt, (2, 0, 1)), opt_cfg.lambda_dssim)
+                total = photo
+            else:
+                # IDU views without refinement skip the photometric term
+                # (reference train.py:772-781).
+                ll1 = jnp.zeros(())
+                total = jnp.zeros(())
             d_loss = jnp.zeros(())
             if use_depth and opt_cfg.lambda_depth > 0:
                 d_loss = depth_pearson_loss(gt_depth * gt_mask,
@@ -215,6 +269,19 @@ def _build_gauss_grads_fn(
             n_all = jax.lax.psum(jnp.sum(model.aux.alive), axis)
             o_loss = ent_sum / jnp.maximum(n_all, 1)
             total = total + lambda_opacity * o_loss
+
+            if use_pseudo:
+                # Pseudo-view monodepth supervision (reference
+                # train.py:245-277): rendered WITHOUT the gradient dummies
+                # so the pseudo view never feeds densification stats —
+                # exactly like the single-device step's pseudo render.
+                _, p_depth, _, _, _ = render_view(
+                    pseudo_camera, None, None, None, False)
+                pd = depth_pearson_loss(pseudo_gt_depth, p_depth)
+                pd = jnp.where(jnp.isnan(pd), 0.0, pd)
+                total = total + pseudo_scale * opt_cfg.lambda_pseudo_depth * pd
+                d_loss = d_loss + pd
+
             return total, {"l1": ll1, "depth_loss": d_loss,
                            "opacity_loss": o_loss, "radii": radii,
                            "psnr": psnr(image, gt),
@@ -246,19 +313,21 @@ def _build_gauss_local_step(
     axis: str,
     num_bins: int,
     bin_capacity=None,
+    **grads_kwargs,
 ):
     """The per-shard step body (grads -> densify stats -> Adam), to be
     wrapped in shard_map directly (single step) or inside a lax.scan window
     (multistep)."""
     grads_fn = _build_gauss_grads_fn(
         opt_cfg, has_appearance, kernel_size, use_depth, axis, num_bins,
-        bin_capacity=bin_capacity)
+        bin_capacity=bin_capacity, **grads_kwargs)
 
     def local_step(state: TrainState, camera, gt_image, gt_mask, gt_depth,
-                   bg, xyz_lr, lambda_opacity):
+                   bg, rng, xyz_lr, lambda_opacity, *pseudo_args):
         model = state.model
         loss, aux_out, gparams, gdummies = grads_fn(
-            model, camera, gt_image, gt_mask, gt_depth, bg, lambda_opacity)
+            model, camera, gt_image, gt_mask, gt_depth, bg, rng,
+            lambda_opacity, *pseudo_args)
 
         new_aux = add_densification_stats(
             model.aux, gdummies[0], gdummies[1], aux_out["radii"],
@@ -302,30 +371,39 @@ def make_gauss_sharded_train_step(
     use_depth: bool = True,
     axis: str = "gauss",
     bin_capacity=None,
+    use_pseudo: bool = False,
+    **grads_kwargs,
 ):
     """Build the jitted splat-sharded train step.
 
     The TrainState's per-splat leaves must be sharded along ``axis`` (use
-    :func:`shard_train_state`); camera/images are replicated.  The
+    :func:`shard_train_state`); camera/images/rng are replicated.  The
     appearance model rides along: per-splat Fourier ``embeddings`` shard
     with the splats, the camera table + MLP replicate, and their gradients
     are ``psum``-reduced across shards (each shard only sees its own
     splats' contribution).
 
-    Signature: step(state, camera, gt_image, gt_mask, gt_depth, bg, xyz_lr,
-    lambda_opacity) -> (state, StepMetrics).
+    Signature — the SAME as the single-device train.step.make_train_step:
+        step(state, camera, gt_image, gt_mask, gt_depth, bg, rng, xyz_lr,
+             lambda_opacity[, pseudo_camera, pseudo_gt_depth, pseudo_scale])
+            -> (state, StepMetrics)
+    Extra options forward to :func:`_build_gauss_grads_fn` (ray_jitter,
+    resample_gt, photometric, testing_render).
     """
     has_appearance = (
         template_state.model.params.appearance_embeddings is not None
         and template_state.model.params.appearance_mlp is not None)
     local_step = _build_gauss_local_step(
         opt_cfg, has_appearance, kernel_size, use_depth, axis,
-        mesh.shape[axis], bin_capacity=bin_capacity)
+        mesh.shape[axis], bin_capacity=bin_capacity,
+        use_pseudo=use_pseudo, **grads_kwargs)
     state_spec = _gauss_state_spec(template_state, axis)
 
+    n_extra = 3 if use_pseudo else 0
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P(), P())
+        + (P(),) * n_extra,
         out_specs=(state_spec, P()),
         check_vma=False,
     )
@@ -341,40 +419,45 @@ def make_gauss_sharded_multistep(
     use_depth: bool = True,
     axis: str = "gauss",
     bin_capacity=None,
+    **grads_kwargs,
 ):
     """Scan-fused window of K consecutive splat-sharded steps in ONE
     dispatch — the gaussian-sharded counterpart of
     train.step.make_train_multistep (same windowing contract: the Trainer
-    sizes windows so no host event falls inside one).
+    sizes windows so no host event falls inside one; pseudo-view steps
+    cannot be fused).
 
-    Signature:
+    Signature — the SAME as train.step.make_train_multistep:
         multi(state, group_cameras (M-stacked pytree), group_images
               (M,H,W,3), group_masks (M,H,W), group_depths (M,H,W),
-              idxs (K,) int32 view picks, bg (3,), xyz_lrs (K,),
-              lambda_opacities (K,))
+              idxs (K,) int32 view picks, bg (3,), rngs (K,2) keys,
+              xyz_lrs (K,), lambda_opacities (K,))
             -> (state, StepMetrics with (K,)-leaves)
     """
+    if grads_kwargs.get("use_pseudo"):
+        raise ValueError("pseudo-view steps cannot be scan-fused")
     has_appearance = (
         template_state.model.params.appearance_embeddings is not None
         and template_state.model.params.appearance_mlp is not None)
     local_step = _build_gauss_local_step(
         opt_cfg, has_appearance, kernel_size, use_depth, axis,
-        mesh.shape[axis], bin_capacity=bin_capacity)
+        mesh.shape[axis], bin_capacity=bin_capacity, **grads_kwargs)
     state_spec = _gauss_state_spec(template_state, axis)
 
-    def local_multi(state, cameras, images, masks, depths, idxs, bg,
+    def local_multi(state, cameras, images, masks, depths, idxs, bg, rngs,
                     xyz_lrs, lambda_opacities):
         def body(st, xs):
-            i, lr, lam = xs
+            i, key, lr, lam = xs
             cam = jax.tree.map(lambda x: x[i], cameras)
             return local_step(st, cam, images[i], masks[i], depths[i], bg,
-                              lr, lam)
+                              key, lr, lam)
 
-        return jax.lax.scan(body, state, (idxs, xyz_lrs, lambda_opacities))
+        return jax.lax.scan(body, state,
+                            (idxs, rngs, xyz_lrs, lambda_opacities))
 
     sharded = shard_map(
         local_multi, mesh=mesh,
-        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(state_spec, P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(state_spec, P()),
         check_vma=False,
     )
@@ -475,6 +558,7 @@ def make_grid_train_step(
     data_axis: str = "data",
     gauss_axis: str = "gauss",
     bin_capacity=None,
+    **grads_kwargs,
 ):
     """Build the jitted 2D view x gauss grid train step: both scaling axes
     at once over a ``Mesh((B, G), (data_axis, gauss_axis))``.
@@ -486,11 +570,13 @@ def make_grid_train_step(
     across rows the B per-view gradients ``pmean`` and densification
     statistics psum/pmax exactly as the 1D view-parallel step
     (parallel/sharding._combine_and_update) — so a (B, G) grid reproduces
-    the B-view batched trajectory of a G-way sharded model.
+    the B-view batched trajectory of a G-way sharded model.  Per-view
+    ray-jitter keys derive from the replicated per-step key by folding in
+    the data-row index (the make_parallel_multistep_indexed convention).
 
     Signature: step(state, cameras_B, images (B,H,W,3), masks (B,H,W),
-    depths (B,H,W), bg (3,), xyz_lr, lambda_opacity) -> (state, StepMetrics)
-    where B == mesh.shape[data_axis].
+    depths (B,H,W), bg (3,), rng, xyz_lr, lambda_opacity)
+    -> (state, StepMetrics) where B == mesh.shape[data_axis].
     """
     from skyfall_gs_tpu.parallel.sharding import _combine_and_update
 
@@ -500,14 +586,15 @@ def make_grid_train_step(
         and template_state.model.params.appearance_mlp is not None)
     grads_fn = _build_gauss_grads_fn(
         opt_cfg, has_appearance, kernel_size, use_depth, gauss_axis,
-        num_bins, bin_capacity=bin_capacity)
+        num_bins, bin_capacity=bin_capacity, **grads_kwargs)
 
     def local_step(state: TrainState, cam_b, image_b, mask_b, depth_b, bg,
-                   xyz_lr, lambda_opacity):
+                   rng, xyz_lr, lambda_opacity):
         camera = jax.tree.map(lambda x: x[0], cam_b)
+        key = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         loss, aux_out, gparams, gdummies = grads_fn(
             state.model, camera, image_b[0], mask_b[0], depth_b[0], bg,
-            lambda_opacity)
+            key, lambda_opacity)
         new_state, metrics = _combine_and_update(
             state, loss, aux_out, gparams, gdummies,
             camera.width, camera.height, opt_cfg, xyz_lr, data_axis)
@@ -524,7 +611,7 @@ def make_grid_train_step(
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(state_spec, P(data_axis), P(data_axis), P(data_axis),
-                  P(data_axis), P(), P(), P()),
+                  P(data_axis), P(), P(), P(), P()),
         out_specs=(state_spec, P()),
         check_vma=False,
     )

@@ -123,18 +123,6 @@ class Trainer:
         if self.mesh is not None and self.mesh_mode == "gauss":
             self.mesh_axis = "gauss" if "gauss" in self.mesh.axis_names \
                 else self.mesh_axis
-            if self.model_cfg.ray_jitter:
-                raise NotImplementedError(
-                    "ray_jitter is not supported under gaussian sharding "
-                    "(the sharded step has no per-step rng)")
-            if (self.opt_cfg.lambda_pseudo_depth > 0
-                    and self.depth_predictor is not None):
-                # Fail at construction, not hours in at the first pseudo
-                # iteration (_get_gauss_step_fn would raise mid-training).
-                raise NotImplementedError(
-                    "pseudo-view depth supervision is not yet supported "
-                    "under gaussian sharding (mesh_mode='gauss'); set "
-                    "lambda_pseudo_depth=0 or pass no depth predictor")
         self._view_mesh = self.mesh is not None and self.mesh_mode == "view"
         self._gauss_mesh = self.mesh is not None and self.mesh_mode == "gauss"
         self._mesh_B = (
@@ -280,27 +268,25 @@ class Trainer:
                 **self._step_kwargs(use_depth))
         return self._step_fns[key]
 
+    def _gauss_kwargs(self, use_depth: bool):
+        """_step_kwargs translated to the gauss-sharded builders' options
+        (they take no backend/lpips — the sharded render is always tiled)."""
+        kw = self._step_kwargs(use_depth)
+        return dict(
+            kernel_size=kw["kernel_size"], use_depth=use_depth,
+            axis=self.mesh_axis, bin_capacity=kw["bin_capacity"],
+            ray_jitter=kw["ray_jitter"], resample_gt=kw["resample_gt"])
+
     def _get_gauss_step_fn(self, use_depth: bool, use_pseudo: bool):
-        if use_pseudo:
-            raise NotImplementedError(
-                "pseudo-view depth supervision is not yet supported under "
-                "gaussian sharding (mesh_mode='gauss'); set "
-                "lambda_pseudo_depth=0 or pass no depth predictor")
-        key = ("gauss", use_depth, self.bin_capacity)
+        key = ("gauss", use_depth, use_pseudo, self.bin_capacity)
         if key not in self._step_fns:
             from skyfall_gs_tpu.parallel.gauss_shard import (
                 make_gauss_sharded_train_step,
             )
 
-            kw = self._step_kwargs(use_depth)
-            step = make_gauss_sharded_train_step(
+            self._step_fns[key] = make_gauss_sharded_train_step(
                 self.mesh, self.opt_cfg, self._gauss_template,
-                kernel_size=kw["kernel_size"], use_depth=use_depth,
-                axis=self.mesh_axis, bin_capacity=kw["bin_capacity"])
-            # Adapter: the sharded step takes no per-step rng (drop krng).
-            self._step_fns[key] = (
-                lambda st, cam, img, m, d, bg, krng, lr, lam, _s=step:
-                _s(st, cam, img, m, d, bg, lr, lam))
+                use_pseudo=use_pseudo, **self._gauss_kwargs(use_depth))
         return self._step_fns[key]
 
     def _get_gauss_multistep_fn(self, use_depth: bool):
@@ -310,16 +296,9 @@ class Trainer:
                 make_gauss_sharded_multistep,
             )
 
-            kw = self._step_kwargs(use_depth)
-            multi = make_gauss_sharded_multistep(
+            self._step_fns[key] = make_gauss_sharded_multistep(
                 self.mesh, self.opt_cfg, self._gauss_template,
-                kernel_size=kw["kernel_size"], use_depth=use_depth,
-                axis=self.mesh_axis, bin_capacity=kw["bin_capacity"])
-            # Adapter: same window signature as make_train_multistep minus
-            # the per-step rngs (drop them).
-            self._step_fns[key] = (
-                lambda st, cams, imgs, ms, ds, idxs, bg, rngs, lrs, lams,
-                _m=multi: _m(st, cams, imgs, ms, ds, idxs, bg, lrs, lams))
+                **self._gauss_kwargs(use_depth))
         return self._step_fns[key]
 
     def _get_multistep_fn(self, use_depth: bool):

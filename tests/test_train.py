@@ -386,7 +386,7 @@ class TestGaussianSharded:
 
         stepN = make_gauss_sharded_train_step(mesh, cfg, ts, use_depth=True)
         tsS = shard_train_state(ts, mesh, "gauss")
-        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg,
+        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
                         jnp.float32(1e-3), jnp.float32(0.1))
 
         assert float(abs(mN.loss - m1.loss)) < 2e-3
@@ -483,7 +483,7 @@ class TestGaussianSharded:
             0].data.shape == ts.model.params.appearance_embeddings.shape
         assert tsS.model.params.embeddings.addressable_shards[
             0].data.shape == (16, ts.model.params.embeddings.shape[1])
-        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg,
+        tsN, mN = stepN(tsS, cam, gt, mask, depth, bg, jax.random.PRNGKey(0),
                         jnp.float32(1e-3), jnp.float32(0.1))
 
         assert float(abs(mN.loss - m1.loss)) < 2e-3
@@ -585,7 +585,8 @@ class TestGridSharded:
         gstep = make_grid_train_step(grid_mesh, cfg, ts, use_depth=True)
         tsS = shard_train_state(ts, grid_mesh, "gauss")
         tsG, mG = gstep(tsS, cam_b, gt, mask, depth, bg,
-                        jnp.float32(1e-3), jnp.float32(0.1))
+                        jax.random.PRNGKey(0), jnp.float32(1e-3),
+                        jnp.float32(0.1))
 
         assert abs(float(mG.loss) - float(m1.loss)) < 2e-3
         assert int(mG.n_alive) == int(m1.n_alive) == 48
