@@ -465,6 +465,80 @@ def make_gauss_sharded_multistep(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_gauss_idu_multistep(
+    mesh: Mesh,
+    opt_cfg,
+    template_state: TrainState,
+    idu_kwargs: dict,
+    orig_kwargs: dict,
+    axis: str = "gauss",
+):
+    """Scan-fused window of MIXED IDU/original episode steps on a
+    gaussian-sharded state — the splat-sharding counterpart of
+    train.step.make_idu_multistep (reference episode loop train.py:725-798).
+
+    Same contract as the single-device variant: the per-step KIND is a
+    runtime input and the scan body ``lax.cond``s between the two gauss
+    local-step bodies, so one compile covers every IDU/original
+    interleaving; the Trainer-side episode loop sizes windows so no host
+    event (pseudo supervision, densify, opacity reset) falls inside one.
+    ``idu_kwargs`` / ``orig_kwargs`` are :func:`_build_gauss_local_step`
+    option dicts (kernel_size, use_depth, bin_capacity, ray_jitter,
+    resample_gt, photometric, testing_render).
+
+    Signature — identical to train.step.make_idu_multistep:
+        multi(state, idu_cameras (M1-stacked), idu_images (M1,H1,W1,3),
+              idu_masks, idu_depths, orig_cameras (M2-stacked), orig_images,
+              orig_masks, orig_depths, kinds (K,) int32, idu_idxs (K,),
+              orig_idxs (K,), bg (3,), rngs (K,2), xyz_lrs (K,),
+              lambda_opacities (K,))
+            -> (state, StepMetrics with (K,)-leaves)
+    """
+    if idu_kwargs.get("use_pseudo") or orig_kwargs.get("use_pseudo"):
+        raise ValueError("pseudo-view steps cannot be scan-fused")
+    has_appearance = (
+        template_state.model.params.appearance_embeddings is not None
+        and template_state.model.params.appearance_mlp is not None)
+    num_bins = mesh.shape[axis]
+    idu_step = _build_gauss_local_step(
+        opt_cfg, has_appearance, axis=axis, num_bins=num_bins, **idu_kwargs)
+    orig_step = _build_gauss_local_step(
+        opt_cfg, has_appearance, axis=axis, num_bins=num_bins, **orig_kwargs)
+    state_spec = _gauss_state_spec(template_state, axis)
+
+    def local_multi(state, idu_cameras, idu_images, idu_masks, idu_depths,
+                    orig_cameras, orig_images, orig_masks, orig_depths,
+                    kinds, idu_idxs, orig_idxs, bg, rngs, xyz_lrs,
+                    lambda_opacities):
+        def body(st, xs):
+            kind, ii, oi, key, lr, lam = xs
+
+            def run_idu(st):
+                cam = jax.tree.map(lambda x: x[ii], idu_cameras)
+                return idu_step(st, cam, idu_images[ii], idu_masks[ii],
+                                idu_depths[ii], bg, key, lr, lam)
+
+            def run_orig(st):
+                cam = jax.tree.map(lambda x: x[oi], orig_cameras)
+                return orig_step(st, cam, orig_images[oi], orig_masks[oi],
+                                 orig_depths[oi], bg, key, lr, lam)
+
+            return jax.lax.cond(kind == 1, run_idu, run_orig, st)
+
+        return jax.lax.scan(
+            body, state,
+            (kinds, idu_idxs, orig_idxs, rngs, xyz_lrs, lambda_opacities))
+
+    sharded = shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(state_spec,) + (P(),) * 15,
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    # State donated: every caller rebinds (IDU episode loop, dryrun).
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_sharded_densify(mesh: Mesh, template_state: TrainState,
                          axis: str = "gauss", **static_kwargs):
     """Jitted clone/split/prune pass over a gaussian-sharded state.

@@ -185,8 +185,17 @@ class IDUOrchestrator:
             key = (use_pseudo, t.bin_capacity)
             if key not in step_cache:
                 idu_kwargs, _ = _kind_kwargs()
-                step_cache[key] = make_train_step(
-                    o, use_pseudo=use_pseudo, **idu_kwargs)
+                if gauss:
+                    from skyfall_gs_tpu.parallel.gauss_shard import (
+                        make_gauss_sharded_train_step,
+                    )
+
+                    step_cache[key] = make_gauss_sharded_train_step(
+                        t.mesh, o, t._gauss_template, axis=t.mesh_axis,
+                        use_pseudo=use_pseudo, **idu_kwargs)
+                else:
+                    step_cache[key] = make_train_step(
+                        o, use_pseudo=use_pseudo, **idu_kwargs)
             return step_cache[key]
 
         def episode_pseudo_curriculum(iteration: int):
@@ -200,11 +209,14 @@ class IDUOrchestrator:
         idu_indices: List[int] = []
         pseudo_stack: List = []
 
-        if getattr(t, "_gauss_mesh", False):
-            raise NotImplementedError(
-                "IDU episodes under gaussian sharding are not supported yet;"
-                " use mesh_mode='view' or no mesh for Stage 2")
-        mesh_B = t._mesh_B  # 0 = single device; >0 = view-parallel episodes
+        gauss = getattr(t, "_gauss_mesh", False)
+        if gauss and not hasattr(t, "_gauss_template"):
+            # Abstract spec template for the shard_map builders (episodes
+            # may run without a prior Stage-1 t.train() call — e.g. resumed
+            # from a checkpoint straight into the curriculum).
+            t._gauss_template = jax.eval_shape(lambda s: s, state)
+        mesh_B = t._mesh_B  # 0 = single device or gauss-sharded (1 view/
+        #                     step); >0 = view-parallel episodes
 
         def draw_tuple(j: int):
             """One iteration's host-RNG draws: the IDU/original Bernoulli
@@ -251,17 +263,30 @@ class IDUOrchestrator:
             return j % o.idu_testing_interval == 0 or j == end_iter
 
         def _kind_kwargs():
-            lpips_fn = None
-            if o.use_lpips_loss:
-                lpips_fn = t._get_lpips()._jitted
-            common = dict(
-                kernel_size=cfg.kernel_size,
-                backend=t.pipe_cfg.rasterizer_backend,
-                ray_jitter=cfg.ray_jitter,
-                resample_gt=cfg.resample_gt_image,
-                bin_capacity=t.bin_capacity,
-                lpips_fn=lpips_fn,
-            )
+            if gauss:
+                # Gauss-sharded builders take no backend/lpips — the
+                # sharded render is always tiled and skips the LPIPS swap
+                # (same option surface as Trainer._gauss_kwargs, so the
+                # fused and single-step gauss episode paths match the
+                # Stage-1 gauss step exactly).
+                common = dict(
+                    kernel_size=cfg.kernel_size,
+                    ray_jitter=cfg.ray_jitter,
+                    resample_gt=cfg.resample_gt_image,
+                    bin_capacity=t.bin_capacity,
+                )
+            else:
+                lpips_fn = None
+                if o.use_lpips_loss:
+                    lpips_fn = t._get_lpips()._jitted
+                common = dict(
+                    kernel_size=cfg.kernel_size,
+                    backend=t.pipe_cfg.rasterizer_backend,
+                    ray_jitter=cfg.ray_jitter,
+                    resample_gt=cfg.resample_gt_image,
+                    bin_capacity=t.bin_capacity,
+                    lpips_fn=lpips_fn,
+                )
             return (dict(use_depth=o.lambda_depth > 0,
                          photometric=o.idu_refine,
                          testing_render=not o.idu_random_ap, **common),
@@ -283,6 +308,16 @@ class IDUOrchestrator:
                     step_cache[key] = make_parallel_idu_multistep(
                         t.mesh, o, idu_kwargs, orig_kwargs,
                         axis=t.mesh_axis, use_pseudo=use_pseudo)
+                elif gauss:
+                    from skyfall_gs_tpu.parallel.gauss_shard import (
+                        make_gauss_idu_multistep,
+                    )
+
+                    assert not use_pseudo
+                    step_cache[key] = make_gauss_idu_multistep(
+                        t.mesh, o, t._gauss_template,
+                        idu_kwargs=idu_kwargs, orig_kwargs=orig_kwargs,
+                        axis=t.mesh_axis)
                 else:
                     from skyfall_gs_tpu.train.step import make_idu_multistep
 
@@ -466,8 +501,18 @@ class IDUOrchestrator:
                 t._report(state, iteration)
             iteration += 1
 
-        ckpt = os.path.join(cfg.model_path, f"chkpnt{end_iter}.npz")
-        save_checkpoint(ckpt, state, end_iter)
+        if gauss:
+            # Collective orbax save — the sharded state is never gathered
+            # to one host (same rule as the Stage-1 gauss checkpoints).
+            from skyfall_gs_tpu.train.checkpoint_sharded import (
+                save_checkpoint_sharded,
+            )
+
+            ckpt = os.path.join(cfg.model_path, f"chkpnt{end_iter}.orbax")
+            save_checkpoint_sharded(ckpt, state, end_iter)
+        else:
+            ckpt = os.path.join(cfg.model_path, f"chkpnt{end_iter}.npz")
+            save_checkpoint(ckpt, state, end_iter)
         t.save_ply(state, end_iter)
         return state
 

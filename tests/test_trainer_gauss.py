@@ -161,6 +161,95 @@ class TestTrainerGauss:
         with pytest.raises(ValueError, match="not divisible"):
             t3.init_state(start_checkpoint=ckpt)
 
+    def _run_idu_episode(self, seed, tmp_path, mesh, fuse, iters=18,
+                         **opt_overrides):
+        """One Stage-2 episode through the real IDUOrchestrator, optionally
+        on a gaussian-sharded Trainer (mesh_mode='gauss')."""
+        from skyfall_gs_tpu.priors import IdentityRefiner, RenderDepthPredictor
+        from skyfall_gs_tpu.train.idu import IDUOrchestrator
+        from skyfall_gs_tpu.train.loop import Trainer
+
+        rng = np.random.default_rng(seed)
+        scene = _synthetic_scene(rng)
+        model_cfg = ModelConfig(model_path=str(tmp_path))
+        opt = dict(
+            iterations=iters,
+            idu_episode_iterations=iters,
+            idu_densify_until_iter=12,
+            densify_from_iter=2,
+            densification_interval=6,
+            idu_opacity_reset_interval=9,
+            opacity_cooldown_iterations=3,
+            idu_testing_interval=10 ** 9,
+            idu_num_cams=2, idu_num_samples_per_view=1,
+            idu_render_size=32, idu_train_ratio=0.5,
+            lambda_depth=0.5, lambda_opacity=0.01,
+            lambda_pseudo_depth=0.5, sample_pseudo_interval=7,
+            idu_refine=False, idu_position_lr_max_steps=iters,
+            densify_grad_threshold=1e-7,
+        )
+        opt.update(opt_overrides)
+        opt_cfg = OptimizationConfig(**opt)
+        trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(fuse_steps=fuse),
+                          scene, mesh=mesh,
+                          mesh_mode="gauss" if mesh is not None else "view")
+
+        def small_stack(ele, rad):
+            from skyfall_gs_tpu.core.camera import orbit_cameras
+
+            return orbit_cameras([0, 0, 0], ele, 3.0, num_cams=4,
+                                 width=32, height=32, fov_deg=60.0,
+                                 uids=[0] * 4)
+
+        trainer._gen_pseudo_stack_at = small_stack
+        state = trainer.init_state()
+        orch = IDUOrchestrator(trainer=trainer, refiner=IdentityRefiner(),
+                               depth_predictor=RenderDepthPredictor())
+        return orch.train_episode(state, 0, [[0.0, 0.0, 0.0]],
+                                  60.0, 3.0, 60.0)
+
+    def test_gauss1_idu_episode_matches_single_device(self, tmp_path):
+        """A Stage-2 episode on a 1-shard gauss mesh reproduces the
+        single-device episode: same host-RNG draws (shared draw_tuple),
+        one depth bin IS the plain composite — only XLA fusion-order
+        wobble remains.  Covers pseudo steps (7/14) and the Bernoulli
+        IDU/original kind mixing.  Densification is disabled: the sharded
+        densify folds the split-noise rng with the shard index, so even a
+        1-shard run draws different children than the single-device path
+        (same rule as test_gauss1_matches_single_device); the 2-shard
+        fused-vs-unfused test below covers densify/reset events."""
+        no_dens = dict(idu_densify_until_iter=0, densify_from_iter=10 ** 9)
+        s0 = self._run_idu_episode(7, tmp_path / "a", None, fuse=1,
+                                   **no_dens)
+        s1 = self._run_idu_episode(7, tmp_path / "b", _gauss_mesh(1), fuse=1,
+                                   **no_dens)
+        np.testing.assert_allclose(np.asarray(s1.model.params.xyz),
+                                   np.asarray(s0.model.params.xyz),
+                                   rtol=0, atol=5e-5)
+        assert int(s1.step) == int(s0.step) == 18
+        assert (np.asarray(s1.model.aux.alive).sum()
+                == np.asarray(s0.model.aux.alive).sum())
+
+    def test_gauss2_idu_fused_matches_unfused(self, tmp_path):
+        """Mixed-kind fused episode windows (make_gauss_idu_multistep:
+        runtime kind, lax.cond between the two gauss step bodies) must not
+        change the gauss-sharded episode trajectory; the end-of-episode
+        checkpoint rides the collective orbax path."""
+        import os
+
+        s1 = self._run_idu_episode(7, tmp_path / "a", _gauss_mesh(2), fuse=1)
+        sf = self._run_idu_episode(7, tmp_path / "b", _gauss_mesh(2), fuse=4)
+        np.testing.assert_allclose(np.asarray(sf.model.params.xyz),
+                                   np.asarray(s1.model.params.xyz),
+                                   rtol=0, atol=5e-5)
+        assert int(sf.step) == int(s1.step) == 18
+        assert (np.asarray(sf.model.aux.alive).sum()
+                == np.asarray(s1.model.aux.alive).sum())
+        # sharded all the way through + collective checkpoint at episode end
+        assert "gauss" in getattr(sf.model.params.xyz.sharding, "spec", ())
+        assert os.path.isdir(os.path.join(str(tmp_path / "b"),
+                                          "chkpnt18.orbax"))
+
     def test_gauss4_densify_and_growth_train(self, rng, tmp_path):
         t = _mk(
             _synthetic_scene(rng), tmp_path, _gauss_mesh(4), fuse=4,
