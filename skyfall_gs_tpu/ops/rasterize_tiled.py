@@ -200,10 +200,20 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
         dma(0, 0).start()
 
     def cond(carry):
-        c, t_run, _ = carry
+        c, t_run, _, _ = carry
         return (c < nblocks) & (jnp.max(t_run) >= T_EPS)
 
-    def sub_step(chunk, sub_base, t_run, acc):
+    def sub_step(chunk, sub_base, t_run, t_fin, acc):
+        # t_run is the TRUE cumulative product over every entry so far
+        # (skipped ones included) — the oracle's prefix property, so
+        # ``keep`` matches rasterize_ref bit-for-bit and the while cond
+        # genuinely fires once the whole tile saturates.  t_fin is the
+        # FROZEN transmittance (T after the last contributing entry, the
+        # CUDA done-flag value) — output only.  An earlier version carried
+        # the frozen value alone: keep could then flip back on after a
+        # chunk boundary (up to ~1e-2 of resumed weight under the
+        # ALPHA_MAX clamp) and the loop never exited early (regression:
+        # termination-resume test in tests/test_rasterizer.py).
         alpha, _, _, _, _, _, _, _, _ = _chunk_state(
             chunk, px, py, sub_base, off0, off0 + cnt)
         one_minus = 1.0 - alpha
@@ -216,11 +226,12 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
         acc = acc + jax.lax.dot_general(
             col, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (8, P)
-        t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
-        return t_run, acc
+        t_fin = jnp.min(jnp.where(keep, t_after, t_fin), axis=1, keepdims=True)
+        t_run = t_after[:, CHUNK - 1:CHUNK]
+        return t_run, t_fin, acc
 
     def body(carry):
-        c, t_run, acc = carry
+        c, t_run, t_fin, acc = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nblocks)
@@ -230,14 +241,14 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
         dma(slot, c).wait()
         block = buf[slot]                                    # (NA, BLOCK)
         for h in range(BLOCK // CHUNK):
-            t_run, acc = sub_step(
+            t_run, t_fin, acc = sub_step(
                 block[:, h * CHUNK:(h + 1) * CHUNK],
-                c * BLOCK + h * CHUNK, t_run, acc)
-        return c + 1, t_run, acc
+                c * BLOCK + h * CHUNK, t_run, t_fin, acc)
+        return c + 1, t_run, t_fin, acc
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
-            jnp.zeros((NCH, P), jnp.float32))
-    c_fin, t_run, acc = jax.lax.while_loop(cond, body, init)
+            jnp.ones((P, 1), jnp.float32), jnp.zeros((NCH, P), jnp.float32))
+    c_fin, _, t_fin, acc = jax.lax.while_loop(cond, body, init)
 
     # Drain a prefetch left in flight by an early exit.
     @pl.when(c_fin < nblocks)
@@ -245,7 +256,7 @@ def _fwd_kernel(tiles_x: int, start_ref, count_ref,
         dma(jax.lax.rem(c_fin, 2), c_fin).wait()
 
     out_ref[0] = acc
-    tfin_ref[...] = t_run
+    tfin_ref[...] = t_fin
 
 
 # ----------------------------------------------------------------------------
@@ -370,7 +381,11 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
             axis=0,
         )                                                     # (16, G)
 
-        t_run = jnp.min(jnp.where(keep, t_after, t_run), axis=1, keepdims=True)
+        # TRUE-product transmittance carry (lane CHUNK-1 of t_after), same
+        # as the forward kernel: keep matches the oracle's prefix property
+        # and the while cond exits once the tile saturates.  (The frozen
+        # carry is not needed here — tfin comes in from the forward.)
+        t_run = t_after[:, CHUNK - 1:CHUNK]
         # Carry the chunk total: q's summand w * a_dot is zeroed past
         # termination (w masks on keep), so the inclusive cumsum is constant
         # from the last live lane onward and lane CHUNK-1 is exact.  A

@@ -202,6 +202,55 @@ class TestTiledParity:
             scale = float(jnp.max(jnp.abs(a))) + 1e-6
             assert float(jnp.max(jnp.abs(a - b))) / scale < 3e-2
 
+    def test_no_resume_after_termination_at_chunk_boundary(self):
+        """Regression: compositing must NOT resume past transmittance
+        termination (reference CUDA sets a permanent done flag once
+        T drops below T_EPS; the oracle's keep is a prefix property of the
+        TRUE cumulative product, rasterize_ref.py:61-66).
+
+        Adversarial layout: 127 fillers bring T to ~0.0099 inside chunk 0
+        (all kept), lane 127 is an ALPHA_MAX blocker whose t_after ~9.9e-5
+        < T_EPS (skipped -> terminated) — exactly at the chunk boundary.
+        A frozen-only transmittance carry discards the blocker's factor,
+        resumes compositing the bright chunk-1 entries (~1e-2 of weight,
+        the worst case the ALPHA_MAX clamp allows) and reports the wrong
+        T_final; the true-product carry matches the oracle to f32 noise.
+        """
+        from skyfall_gs_tpu.ops.rasterize_ref import composite_reference
+        from skyfall_gs_tpu.ops.rasterize_tiled import CHUNK, composite_tiled
+
+        h = w = 16  # single tile
+        n_fill = CHUNK - 1
+        alpha_fill = 1.0 - np.exp(np.log(0.0099) / n_fill)
+        n_ghost = CHUNK
+        n = n_fill + 1 + n_ghost
+        mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]], jnp.float32), (n, 1))
+        conic = jnp.tile(jnp.asarray([[0.002, 0.0, 0.002]], jnp.float32),
+                         (n, 1))
+        depth = jnp.arange(1, n + 1, dtype=jnp.float32)
+        radius = jnp.full((n,), 20.0, jnp.float32)
+        opacity = jnp.asarray(np.concatenate([
+            np.full((n_fill,), alpha_fill, np.float32),
+            np.array([0.99], np.float32),
+            np.full((n_ghost,), 0.5, np.float32),
+        ]))
+        channels = np.zeros((n, 7), np.float32)
+        channels[:n_fill + 1, :3] = 0.1
+        channels[n_fill + 1:, :3] = 1.0   # resumed entries would glow
+        channels = jnp.asarray(channels)
+
+        out_ref, t_ref = composite_reference(
+            mean2d, conic, depth, radius, opacity, channels, h, w)
+        out_t, t_t, ovf = composite_tiled(
+            mean2d, conic, depth, radius, opacity, channels, h, w, cap=8192)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_ref),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_t), np.asarray(t_ref),
+                                   rtol=0, atol=1e-5)
+        # the frozen T_final really is the interesting value here
+        assert 0.009 < float(np.asarray(t_ref)[8, 8]) < 0.011
+
     def test_abs_gradients_nonnegative_and_bound_signed(self, rng):
         cam = make_test_camera(32, 32)
         args = _splat_args(rng, 60)
