@@ -326,26 +326,38 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
         alpha, alpha_un, expp, use, dx, dy, ca, cb, cc = _chunk_state(
             chunk, px, py, sub_base, off0, off0 + cnt
         )
+        del expp  # dop is recovered from dpower as a row op (see below)
         one_minus = 1.0 - alpha
-        cum = _cumprod_incl(one_minus, tri)
+        lx = jnp.log(one_minus)
+        cum = jnp.exp(_cumsum_incl(lx, tri))                 # _cumprod_incl
         t_after = t_run * cum
         keep = t_after >= T_EPS
         t_before = t_run * _excl_from_incl_prod(cum)
         w = jnp.where(keep, alpha * t_before, 0.0)           # (P, G)
         col = chunk[0:NCH, :]
+        op = chunk[13:14, :]                                  # (1, G)
 
         # A[p, g] = c_g . dC_p  (includes only channel rows; row 7 is zero).
         a_dot = jax.lax.dot_general(
             dout, col, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                     # (P, G)
-        q = q_run + _cumsum_incl(w * a_dot, tri)              # (P, G) inclusive
-        grad_mask = use & keep
-        dalpha = jnp.where(
-            grad_mask, a_dot * t_before - (b_tot - q) / one_minus, 0.0
-        )
-        pgate = grad_mask & (alpha_un < ALPHA_MAX)
-        dpower = jnp.where(pgate, dalpha * alpha_un, 0.0)
-        dop_px = jnp.where(pgate, dalpha * expp, 0.0)
+        w_adot = w * a_dot
+        q = q_run + _cumsum_incl(w_adot, tri)                 # (P, G) inclusive
+        # dpower = dalpha * alpha_un with dalpha = a_dot * t_before -
+        # (B - Q)/one_minus, reassociated to reuse computed planes:
+        #   a_dot * t_before * alpha_un = w_adot      (alpha = alpha_un on
+        #                                              the pgate lanes)
+        #   alpha_un/one_minus = alpha_un * exp(-lx)  (reuses the cumprod's
+        #                                              log; kills the (P,G)
+        #                                              division)
+        # and dop_px = dalpha * expp = dpower / op, where op is constant
+        # per lane — so dop falls out of csum(dpower) as a (1, G) row op
+        # and the whole dop_px plane + its sublane reduction disappear.
+        # Float reassociation only; oracle-parity and finite-difference
+        # tested (tests/test_rasterizer.py).
+        pgate = use & keep & (alpha_un < ALPHA_MAX)
+        ratio = alpha_un * jnp.exp(-lx)                       # alpha_un/(1-a)
+        dpower = jnp.where(pgate, w_adot - (b_tot - q) * ratio, 0.0)
         # Factor u = dpower*dx, v = dpower*dy: the five gradient rows below
         # are bilinear in (dpower*dx, dpower*dy), so this removes ~6
         # (P, G) VPU multiplies per chunk vs the distributed forms (CSE
@@ -369,7 +381,10 @@ def _bwd_kernel(tiles_x: int, start_ref, count_ref, fresh_ref, attrs_ref,
         dca = -0.5 * csum(u * dx)
         dcb = -csum(u * dy)
         dcc = -0.5 * csum(v * dy)
-        dop = csum(dop_px)
+        # dop = csum(dpower / op) = csum(dpower) / op (op constant per
+        # lane).  op == 0 columns (sanitized culled splats) have dpower
+        # exactly 0 — guard the reciprocal so 0 * inf never makes a NaN.
+        dop = csum(dpower) * jnp.where(op > 0.0, 1.0 / op, 0.0)
         absx = csum(jnp.abs(sx))
         absy = csum(jnp.abs(sy))
         dcol = jax.lax.dot_general(
