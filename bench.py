@@ -166,11 +166,34 @@ def main():
     print(json.dumps(result), flush=True)
     if os.environ.get("SKYFALL_BENCH_SKIP_QUALITY"):
         return  # perf-only sweep (e.g. SKYFALL_BENCH_FUSE experiments)
-    try:
-        result.update(quality_metric())
-    except Exception as e:  # quality is auxiliary — never lose the perf line
-        result["quality_error"] = repr(e)
-    print(json.dumps(result))
+    # Seed-robust quality: the AbsGS densify quantile makes single
+    # trajectories chaotic (see quality_metric docstring), so the gate
+    # value is the MEDIAN over N Trainer-RNG seeds with the spread on
+    # record.  A superseding JSON line is emitted after every seed — the
+    # driver parses the output tail, so a timeout mid-sweep keeps the
+    # seeds already measured instead of losing the whole quality phase.
+    n_seeds = int(os.environ.get("SKYFALL_BENCH_QUALITY_SEEDS", "3"))
+    psnrs, ssims_all = [], []
+    for seed in range(n_seeds):
+        try:
+            q = quality_metric(seed=seed)
+        except Exception as e:  # quality is auxiliary — keep the perf line
+            result["quality_error"] = repr(e)
+            print(json.dumps(result), flush=True)
+            return
+        psnrs.append(q["quality_psnr_db"])
+        ssims_all.append(q["quality_ssim"])
+        order = np.argsort(psnrs)
+        med = order[len(psnrs) // 2] if len(psnrs) % 2 else order[
+            len(psnrs) // 2 - 1]          # lower median: a real seed's run
+        result.update(quality_psnr_db=psnrs[med],
+                      quality_ssim=ssims_all[med],
+                      quality_setup=q["quality_setup"],
+                      quality_n_splats=q["quality_n_splats"],
+                      quality_seeds=len(psnrs),
+                      quality_psnr_per_seed=psnrs,
+                      quality_psnr_spread=round(max(psnrs) - min(psnrs), 2))
+        print(json.dumps(result), flush=True)
 
 
 def quality_metric(seed: int = 0):
