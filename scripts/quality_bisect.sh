@@ -6,6 +6,9 @@
 #   9fef357  16-row packed attribute table
 #   1748360  backward algebra factored through u,v
 #   11dfaba  dead negations dropped, post-reduced scales
+#   3bf2869  true-product transmittance carry (r5: semantics fix — keep now
+#            matches the oracle's prefix property; trajectories MAY shift)
+#   3c07e26  backward division/dop_px fold (r5: reassociation, ~2e-7 rel)
 #   HEAD     current
 #
 # CPU-interpret parity says old/new kernels agree to ~1e-7 rel, so any
@@ -21,7 +24,7 @@ OUT=${1:-/tmp/quality_bisect}
 SEEDS=${SEEDS:-1}   # SEEDS=3 for a chaos-aware median per commit (slower)
 # COMMITS="c2177f8 HEAD" for the cheap endpoint comparison first (checklist
 # step 3); only bisect the middle commits if the endpoints separate.
-COMMITS=${COMMITS:-"c2177f8 9fef357 1748360 11dfaba HEAD"}
+COMMITS=${COMMITS:-"c2177f8 9fef357 1748360 11dfaba 3bf2869 3c07e26 HEAD"}
 # Refuse to clobber in-flight kernel work: the file is overwritten per
 # commit and trap-restored to HEAD, which would destroy uncommitted edits.
 if ! git diff --quiet HEAD -- "$F"; then
