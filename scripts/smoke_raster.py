@@ -52,4 +52,37 @@ for nm, a, b in zip(["means", "scales", "quats", "opac", "colors"], g_ref, g_tl)
     denom = float(jnp.max(jnp.abs(a))) + 1e-8
     d = float(jnp.max(jnp.abs(a - b)))
     print(f"grad {nm}: max|ref|={denom:.3e} max|diff|={d:.3e} rel={d/denom:.3e}")
+
+# --- early-exit / zfill hardware validation (round 5) -----------------------
+# A tile whose every pixel saturates in block 0 of 4: the while cond must go
+# false (true-product transmittance carry) and the backward's zfill path must
+# write EXACT ZEROS over the skipped gradient blocks — on real HBM those
+# blocks are garbage unless zfill runs, so this only truly validates on TPU.
+from skyfall_gs_tpu.ops.rasterize_ref import composite_reference
+from skyfall_gs_tpu.ops.rasterize_tiled import BLOCK, composite_tiled
+
+n_wall, n_tail = 64, 3 * BLOCK
+n2 = n_wall + n_tail
+m2 = jnp.tile(jnp.asarray([[8.0, 8.0]], jnp.float32), (n2, 1))
+con = jnp.tile(jnp.asarray([[1e-4, 0.0, 1e-4]], jnp.float32), (n2, 1))
+dep = jnp.arange(1, n2 + 1, dtype=jnp.float32)
+rad = jnp.full((n2,), 30.0, jnp.float32)
+opa = jnp.full((n2,), 0.5, jnp.float32)
+chn = jnp.tile(jnp.asarray([[0.3, 0.6, 0.9, 1.0, 0.1, 0.2, 0.3]],
+                           jnp.float32), (n2, 1))
+o_ref, tf_ref = composite_reference(m2, con, dep, rad, opa, chn, 16, 16)
+o_t, tf_t, _ = composite_tiled(m2, con, dep, rad, opa, chn, 16, 16, cap=4096)
+d_sat = float(jnp.max(jnp.abs(o_t - o_ref)))
+print(f"early-exit fwd max|diff|: {d_sat:.3e}")
+assert d_sat < 1e-3, "saturated-tile forward diverged"
+
+def sat_loss(m, c, o, ch):
+    out, tfin, _ = composite_tiled(m, c, dep, rad, o, ch, 16, 16, cap=4096)
+    return jnp.sum(out) + jnp.sum(tfin)
+
+gs = jax.grad(sat_loss, argnums=(0, 1, 2, 3))(m2, con, opa, chn)
+tail_max = max(float(jnp.max(jnp.abs(g[n_wall + BLOCK:]))) for g in gs)
+print(f"early-exit post-termination grad max: {tail_max:.3e}")
+assert tail_max == 0.0, "zfill failed: skipped gradient blocks not zeroed"
+assert all(bool(jnp.isfinite(g).all()) for g in gs)
 print("OK")

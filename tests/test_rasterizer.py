@@ -251,6 +251,61 @@ class TestTiledParity:
         # the frozen T_final really is the interesting value here
         assert 0.009 < float(np.asarray(t_ref)[8, 8]) < 0.011
 
+    def test_early_exit_zero_fills_skipped_gradient_blocks(self):
+        """Early termination now actually fires (true-product carry): a
+        tile whose every pixel saturates in block 0 must (a) match the
+        oracle, and (b) write EXACT ZERO gradients for all post-
+        termination entries — the backward kernel's zfill path writes the
+        skipped blocks, previously dead code.  Uniform huge-conic splats
+        make all 256 pixels saturate together, so the while cond goes
+        false with several blocks left."""
+        from skyfall_gs_tpu.ops.rasterize_ref import composite_reference
+        from skyfall_gs_tpu.ops.rasterize_tiled import BLOCK, composite_tiled
+
+        h = w = 16
+        n_wall = 64           # alpha .5 wall: T < 1e-4 after ~45 entries
+        n_tail = 3 * BLOCK    # several full blocks past termination
+        n = n_wall + n_tail
+        mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]], jnp.float32), (n, 1))
+        conic = jnp.tile(jnp.asarray([[1e-4, 0.0, 1e-4]], jnp.float32),
+                         (n, 1))  # flat across the tile: alpha ~ opacity
+        depth = jnp.arange(1, n + 1, dtype=jnp.float32)
+        radius = jnp.full((n,), 30.0, jnp.float32)
+        opacity = jnp.full((n,), 0.5, jnp.float32)
+        channels = jnp.tile(
+            jnp.asarray([[0.3, 0.6, 0.9, 1.0, 0.1, 0.2, 0.3]], jnp.float32),
+            (n, 1))
+
+        def run(backend_fn, m2, con, opa, chn):
+            out, tfin, *_ = backend_fn(m2, con, depth, radius, opa, chn,
+                                       h, w)
+            return out, tfin
+
+        out_ref, t_ref = run(composite_reference, mean2d, conic, opacity,
+                             channels)
+        tiled = lambda m2, con, opa, chn: composite_tiled(
+            m2, con, depth, radius, opa, chn, h, w, cap=4096)[:2]
+        out_t, t_t = tiled(mean2d, conic, opacity, channels)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_ref),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t_t), np.asarray(t_ref),
+                                   rtol=0, atol=1e-6)
+
+        def loss(m2, con, opa, chn):
+            out, tfin = tiled(m2, con, opa, chn)
+            return jnp.sum(out) + jnp.sum(tfin)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(mean2d, conic, opacity,
+                                                 channels)
+        for gi in g:
+            assert np.isfinite(np.asarray(gi)).all()
+        # entries far past termination: exactly zero gradient in every row
+        for gi in g:
+            tail = np.asarray(gi)[n_wall + BLOCK:]
+            assert (tail == 0.0).all(), "post-termination grads must be 0"
+        # live wall entries do carry gradient
+        assert np.abs(np.asarray(g[3])[:16]).max() > 0.0
+
     def test_abs_gradients_nonnegative_and_bound_signed(self, rng):
         cam = make_test_camera(32, 32)
         args = _splat_args(rng, 60)
