@@ -7,9 +7,12 @@
 # the 16-row DMA).  Logs land in runs/tpu_return/.
 #
 # Usage: bash scripts/tpu_return.sh [stage]
-#   stage 1 = smoke_raster (Mosaic accepts 16-row DMA?)
-#   stage 2 = bench.py (perf + quality gate)
-#   default: run 1 then 2.
+#   stage 1 = smoke_raster (parity + r5 early-exit/zfill runtime validation)
+#   stage 2 = bench.py (perf + 3-seed quality gate)
+#   stage 3 = quality_gate --seeds 3 at HEAD (bisect vs c2177f8 is manual)
+#   stage 4 = quality_512 (production-resolution anchor)
+#   stage 5 = idu_endurance (Stage-2 curriculum)
+#   default: run 1 then 2 (3-5 are long; invoke explicitly).
 set -u
 cd "$(dirname "$0")/.."
 LOGDIR=runs/tpu_return
@@ -39,14 +42,28 @@ run_stage() {
 STAGE=${1:-all}
 if [ "$STAGE" = 1 ] || [ "$STAGE" = all ]; then
   run_stage smoke_raster 900 python -u scripts/smoke_raster.py || {
-    echo "smoke_raster FAILED — if Mosaic rejected the 16-row DMA, revert 9fef357" >&2
+    echo "smoke_raster FAILED — Mosaic compile acceptance was proven by" >&2
+    echo "BENCH_r03/r04; a failure here is a RUNTIME divergence in the r5" >&2
+    echo "early-exit paths (3bf2869) — bisect with scripts/quality_bisect.sh" >&2
     exit 1
   }
 fi
 if [ "$STAGE" = 2 ] || [ "$STAGE" = all ]; then
-  run_stage bench 2400 python -u bench.py || exit 1
+  run_stage bench 3600 python -u bench.py || exit 1
 fi
-echo "stages done — next (judgment calls, run manually):"
-echo "  timeout 3600 python -u scripts/quality_gate.py --seeds 3   # HEAD, then c2177f8 via scripts/quality_bisect.sh"
-echo "  timeout 3600 python -u scripts/quality_512.py"
-echo "  timeout 5400 python -u scripts/idu_endurance.py /tmp/idu_end 3 1000"
+if [ "$STAGE" = 3 ]; then
+  run_stage quality_gate 3600 python -u scripts/quality_gate.py --seeds 3 || exit 1
+  echo "now compare against c2177f8: bash scripts/quality_bisect.sh (COMMITS=\"c2177f8 HEAD\" SEEDS=3 for endpoints first)"
+fi
+if [ "$STAGE" = 4 ]; then
+  run_stage quality_512 3600 python -u scripts/quality_512.py || exit 1
+fi
+if [ "$STAGE" = 5 ]; then
+  run_stage idu_endurance 5400 python -u scripts/idu_endurance.py /tmp/idu_end 3 1000 || exit 1
+fi
+if [ "$STAGE" = all ]; then
+  echo "stages 1-2 done — next (judgment calls, run explicitly):"
+  echo "  bash scripts/tpu_return.sh 3   # quality gate seeds at HEAD"
+  echo "  bash scripts/tpu_return.sh 4   # 512px anchor"
+  echo "  bash scripts/tpu_return.sh 5   # Stage-2 endurance"
+fi
